@@ -1,0 +1,305 @@
+'''Region-based (connected-component, IoU-matched) detection metrics.
+
+Semantics parity with reference annotator/utils/metrics.py:80-510:
+
+- Optionally resize (bilinear) label+prediction by ``resize_factor``
+  (metrics.py:196-204).
+- Binarize the label at 0.5 and connected-component it (metrics.py:125-128).
+- Threshold the prediction at each of T thresholds (``>=``, metrics.py:134),
+  morphologically open with a 5px flat kernel (metrics.py:135-137), and
+  connected-component each thresholded mask (metrics.py:139-149).
+- Compute the pairwise label-region x pred-region IoU per threshold
+  (metrics.py:166-194) and count, at IoU > IoU_threshold (strict,
+  metrics.py:230):
+    * tp   = label regions detected by some pred region   (label side)
+    * fn   = label regions not detected
+    * tp_p = pred regions matching some label region      (pred side)
+    * fp   = pred regions matching no label region
+  Note the reference's Precision accumulates the *pred-side* tp
+  (metrics.py:256-265) while the ConfusionMatrix accumulates the *label-side*
+  tp (metrics.py:290-302); both variants are preserved here.
+
+TPU-native design: instead of materializing ragged per-region masks, region
+overlap is computed as a **label-histogram matmul**: one-hot the two component
+maps and contract over pixels on the MXU
+(``intersection[t] = onehot(label_cc)^T @ onehot(pred_cc[t])``). Region
+capacity is a static bound (``max_regions``), turning the reference's ragged
+tensors into fixed-shape masked math that jits, vmaps and shards cleanly.
+'''
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.cca import connected_components, connected_components_batch
+from ..ops.morphology import morph_open
+from ..ops import image as image_ops
+
+
+def _region_counts_single(y_true, y_pred, thresholds, iou_threshold,
+                          morph_filter_size, max_label_regions,
+                          max_pred_regions):
+    '''Per-image region confusion counts.
+
+    Args:
+        y_true, y_pred: [H, W] float arrays (already resized).
+        thresholds: [T] float vector.
+
+    Returns:
+        (tp_label, fn, tp_pred, fp): each [T] int32.
+    '''
+    h, w = y_true.shape
+    t = thresholds.shape[0]
+    lcap, pcap = max_label_regions, max_pred_regions
+
+    label_mask = y_true > 0.5
+    lab_cc, n_lab = connected_components(label_mask)
+
+    pred_thr = y_pred[None, :, :] >= thresholds[:, None, None]  # [T,H,W]
+    pred_thr = morph_open(pred_thr.astype(jnp.int8), morph_filter_size) > 0
+    pred_cc, n_pred = connected_components_batch(pred_thr)  # [T,H,W], [T]
+
+    # One-hot region maps (region ids are 1..n; id 0 = background dropped).
+    # bf16 one-hots with f32 accumulation keep the counts exact (<2^24 pixels).
+    a = jax.nn.one_hot(lab_cc.reshape(-1), lcap + 1, dtype=jnp.bfloat16)[:, 1:]
+    b = jax.nn.one_hot(pred_cc.reshape(t, -1), pcap + 1, dtype=jnp.bfloat16)[..., 1:]
+    inter = jnp.einsum('hl,thp->tlp', a, b,
+                       preferred_element_type=jnp.float32)  # [T,L,P]
+    area_l = jnp.sum(a, axis=0, dtype=jnp.float32)  # [L]
+    area_p = jnp.sum(b, axis=1, dtype=jnp.float32)  # [T,P]
+    union = area_l[None, :, None] + area_p[:, None, :] - inter
+    iou = jnp.where(union > 0, inter / jnp.maximum(union, 1.0), 0.0)
+    detected = iou > iou_threshold  # [T,L,P]
+
+    label_hit = jnp.any(detected, axis=2)  # [T,L]
+    pred_hit = jnp.any(detected, axis=1)   # [T,P]
+    valid_l = (jnp.arange(lcap) < jnp.minimum(n_lab, lcap))[None, :]
+    valid_p = jnp.arange(pcap)[None, :] < jnp.minimum(n_pred, pcap)[:, None]
+
+    tp_label = jnp.sum(label_hit & valid_l, axis=1).astype(jnp.int32)
+    tp_pred = jnp.sum(pred_hit & valid_p, axis=1).astype(jnp.int32)
+    # regions beyond the static capacity count as undetected (conservative)
+    fn = n_lab.astype(jnp.int32) - tp_label
+    fp = n_pred.astype(jnp.int32) - tp_pred
+    return tp_label, fn, tp_pred, fp
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('iou_threshold', 'resize_factor', 'morph_filter_size',
+                     'max_label_regions', 'max_pred_regions'))
+def region_confusion_batch(y_true, y_pred, thresholds, *, iou_threshold=0.30,
+                           resize_factor=1.0, morph_filter_size=5,
+                           max_label_regions=32, max_pred_regions=64):
+    '''Batched per-image region confusion counts.
+
+    Args:
+        y_true: [B, H, W] labels in [0, 1].
+        y_pred: [B, H, W] or [B, H, W, 1] predicted probabilities.
+        thresholds: [T] prediction thresholds.
+
+    Returns:
+        (tp_label, fn, tp_pred, fp): each [B, T] int32 (per-image counts;
+        reference ``return_raw=True`` shape, metrics.py:283).
+    '''
+    y_true = y_true.astype(jnp.float32)
+    if y_pred.ndim == y_true.ndim + 1:
+        y_pred = jnp.squeeze(y_pred, -1)
+    y_pred = y_pred.astype(jnp.float32)
+
+    if resize_factor != 1.0:
+        h, w = y_true.shape[1], y_true.shape[2]
+        th = int(np.float16(h) * np.float16(resize_factor))
+        tw = int(np.float16(w) * np.float16(resize_factor))
+        stacked = jnp.stack([y_true, y_pred], axis=-1)  # [B,H,W,2]
+        stacked = image_ops.resize_bilinear(stacked, th, tw)
+        y_true, y_pred = stacked[..., 0], stacked[..., 1]
+
+    fn = functools.partial(
+        _region_counts_single,
+        thresholds=thresholds, iou_threshold=iou_threshold,
+        morph_filter_size=morph_filter_size,
+        max_label_regions=max_label_regions,
+        max_pred_regions=max_pred_regions)
+    return jax.vmap(fn)(y_true, y_pred)
+
+
+class _RegionBasedMetric:
+    '''Base for region metrics; mirrors reference _RegionBasedMetric API.'''
+
+    def __init__(self, thresholds, IoU_threshold=0.30, epsilon=1e-07,
+                 resize_factor=1.0, morph_filter_size=5, name=None,
+                 max_label_regions=32, max_pred_regions=64, **kwargs):
+        thresholds = np.reshape(np.asarray(thresholds, np.float32), [-1])
+        assert np.all(thresholds >= 0)
+        self.thresholds = jnp.asarray(thresholds)
+        self.n_thresholds = thresholds.shape[0]
+        self.IoU_threshold = IoU_threshold
+        self.epsilon = epsilon
+        self.resize_factor = resize_factor
+        self.morph_filter_size = morph_filter_size
+        self.max_label_regions = max_label_regions
+        self.max_pred_regions = max_pred_regions
+        self.name = name or type(self).__name__
+        self._zeros = np.zeros([self.n_thresholds], np.int64)
+        self.reset_state()
+
+    # -- raw count APIs (reference metrics.py:206-302) ---------------------
+    def _raw(self, y_true, y_pred):
+        return region_confusion_batch(
+            jnp.asarray(y_true), jnp.asarray(y_pred), self.thresholds,
+            iou_threshold=self.IoU_threshold,
+            resize_factor=self.resize_factor,
+            morph_filter_size=self.morph_filter_size,
+            max_label_regions=self.max_label_regions,
+            max_pred_regions=self.max_pred_regions)
+
+    def get_tp_fn_fp(self, y_true, y_pred, sample_weight=None,
+                     return_raw=False):
+        if sample_weight is not None:
+            raise NotImplementedError
+        tp, fn, _, fp = self._raw(y_true, y_pred)
+        if return_raw:
+            return np.asarray(tp), np.asarray(fn), np.asarray(fp)
+        return (np.asarray(tp.sum(0)), np.asarray(fn.sum(0)),
+                np.asarray(fp.sum(0)))
+
+    def get_tp_fn(self, y_true, y_pred, sample_weight=None):
+        if sample_weight is not None:
+            raise NotImplementedError
+        tp, fn, _, _ = self._raw(y_true, y_pred)
+        return np.asarray(tp.sum(0)), np.asarray(fn.sum(0))
+
+    def get_tp_fp(self, y_true, y_pred, sample_weight=None):
+        '''Pred-side counts (reference get_tp_fp/get_tp_pred,
+        metrics.py:237-265): tp counts *pred* regions that match a label.'''
+        if sample_weight is not None:
+            raise NotImplementedError
+        _, _, tp_pred, fp = self._raw(y_true, y_pred)
+        return np.asarray(tp_pred.sum(0)), np.asarray(fp.sum(0))
+
+    # -- stateful API -------------------------------------------------------
+    def reset_state(self):
+        self.tp_count = self._zeros.copy()
+        self.fn_count = self._zeros.copy()
+        self.fp_count = self._zeros.copy()
+        self.tp_pred_count = self._zeros.copy()
+
+    def update_state(self, y_true, y_pred, sample_weight=None):
+        if sample_weight is not None:
+            raise NotImplementedError
+        tp, fn, tp_pred, fp = self._raw(y_true, y_pred)
+        self.tp_count = self.tp_count + np.asarray(tp.sum(0), np.int64)
+        self.fn_count = self.fn_count + np.asarray(fn.sum(0), np.int64)
+        self.fp_count = self.fp_count + np.asarray(fp.sum(0), np.int64)
+        self.tp_pred_count = self.tp_pred_count + np.asarray(
+            tp_pred.sum(0), np.int64)
+
+    # alias matching our engine's metric protocol
+    update = update_state
+
+    def reset(self):
+        self.reset_state()
+
+    def get_config(self):
+        return dict(
+            thresholds=np.asarray(self.thresholds).tolist(),
+            IoU_threshold=self.IoU_threshold,
+            epsilon=self.epsilon,
+            resize_factor=self.resize_factor,
+        )
+
+    @staticmethod
+    def _squeeze(x):
+        x = np.squeeze(np.asarray(x))
+        return x if x.ndim else x.reshape(())
+
+
+class RegionBasedRecall(_RegionBasedMetric):
+    def result(self):
+        r = self.tp_count.astype(np.float32) / (
+            (self.tp_count + self.fn_count).astype(np.float32) + self.epsilon)
+        return self._squeeze(r)
+
+
+class RegionBasedPrecision(_RegionBasedMetric):
+    '''Precision over *pred-side* tp (reference metrics.py:372-396).'''
+
+    def result(self):
+        r = self.tp_pred_count.astype(np.float32) / (
+            (self.tp_pred_count + self.fp_count).astype(np.float32)
+            + self.epsilon)
+        return self._squeeze(r)
+
+
+class RegionBasedTruePositives(_RegionBasedMetric):
+    def result(self):
+        return self._squeeze(self.tp_count)
+
+
+class RegionBasedFalsePositives(_RegionBasedMetric):
+    def result(self):
+        return self._squeeze(self.fp_count)
+
+
+class RegionBasedFalseNegatives(_RegionBasedMetric):
+    def result(self):
+        return self._squeeze(self.fn_count)
+
+
+class RegionBasedConfusionMatrix(_RegionBasedMetric):
+    '''Accumulates label-side tp / fn / fp; ``result_dict`` matches
+    reference metrics.py:496-510 (precision here is label-side).'''
+
+    def result(self):
+        return np.nan
+
+    def result_dict(self):
+        tp = self.tp_count.astype(np.float32)
+        recall = tp / (tp + self.fn_count.astype(np.float32) + self.epsilon)
+        precision = tp / (tp + self.fp_count.astype(np.float32) + self.epsilon)
+        return {
+            'true_positive_counts': self._squeeze(self.tp_count),
+            'false_positive_counts': self._squeeze(self.fp_count),
+            'false_negative_counts': self._squeeze(self.fn_count),
+            'recall': self._squeeze(recall),
+            'precision': self._squeeze(precision),
+        }
+
+
+class RegionBasedFBetaScore:
+    '''F-beta from RegionBasedPrecision + RegionBasedRecall
+    (reference metrics.py:313-342).'''
+
+    def __init__(self, beta, thresholds, IoU_threshold=0.30, epsilon=1e-07,
+                 resize_factor=1.0, name=None, **kwargs):
+        assert beta > 0
+        self.beta = beta
+        self.epsilon = epsilon
+        self.name = name or type(self).__name__
+        self.precision = RegionBasedPrecision(
+            thresholds=thresholds, IoU_threshold=IoU_threshold,
+            epsilon=epsilon, resize_factor=resize_factor, **kwargs)
+        self.recall = RegionBasedRecall(
+            thresholds=thresholds, IoU_threshold=IoU_threshold,
+            epsilon=epsilon, resize_factor=resize_factor, **kwargs)
+
+    def update_state(self, y_true, y_pred, sample_weight=None):
+        self.precision.update_state(y_true, y_pred, sample_weight)
+        self.recall.update_state(y_true, y_pred, sample_weight)
+
+    update = update_state
+
+    def result(self):
+        p = self.precision.result()
+        r = self.recall.result()
+        return (1 + self.beta ** 2) * p * r / (
+            self.beta ** 2 * p + r + self.epsilon)
+
+    def reset_state(self):
+        self.precision.reset_state()
+        self.recall.reset_state()
+
+    reset = reset_state

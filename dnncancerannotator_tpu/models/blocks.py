@@ -1,0 +1,254 @@
+'''U-Net building blocks (Flax linen, NHWC).
+
+Topology parity with the reference blocks (reference:
+annotator/models/tf_models/components.py):
+
+- ``Downsample`` (components.py:16-81): n_conv Conv2D (optionally interleaved
+  with BatchNorm) -> returns the pre-pool activation as the skip, then
+  MaxPool(rate) (optionally followed by BatchNorm).
+- ``Upsample`` (components.py:84-166): ConvTranspose(kernel=rate, stride=rate,
+  no activation, optional BatchNorm) -> center-crop the skip to the upsampled
+  spatial size (components.py:162-163) -> channel concat -> n_conv Conv2D
+  (optional BatchNorm interleave).
+- ``Encoder`` (components.py:169-247): chain of ``n_downsample`` Downsample
+  blocks with filters scaled by ``rate`` per level (``int(rate * filters)``).
+- ``Decoder`` (components.py:250-320): mirrored Upsample chain whose filter
+  counts come from the skip channels, applied to skips in reverse order.
+
+TPU notes: all convs run in NHWC (the native TPU conv layout); ``dtype``
+selects the compute precision (bf16 recommended on TPU) while parameters stay
+float32.
+'''
+
+from typing import Any, Callable, Optional, Sequence, Union
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+Activation = Callable[[jnp.ndarray], jnp.ndarray]
+
+
+def solve_activation(identifier) -> Activation:
+    '''Resolve an activation spec: callable, name string, or Keras-style dict.
+
+    Parity with reference components.py:323-335; the dict form supports
+    ``{'class_name': 'LeakyReLU', 'config': {'alpha': 0.3}}``.
+    '''
+    if identifier is None:
+        return lambda x: x
+    if callable(identifier):
+        return identifier
+    if isinstance(identifier, str):
+        name = identifier.lower()
+        table = {
+            'relu': nn.relu,
+            'sigmoid': nn.sigmoid,
+            'tanh': jnp.tanh,
+            'gelu': nn.gelu,
+            'elu': nn.elu,
+            'selu': nn.selu,
+            'softplus': nn.softplus,
+            'leaky_relu': nn.leaky_relu,
+            'leakyrelu': nn.leaky_relu,
+            'linear': lambda x: x,
+            'none': lambda x: x,
+        }
+        if name not in table:
+            raise ValueError(f'Failed to resolve activation: {identifier}')
+        return table[name]
+    if isinstance(identifier, dict):
+        class_name = identifier.get('class_name')
+        config = identifier.get('config', {}) or {}
+        if class_name in ('LeakyReLU', 'leaky_relu'):
+            alpha = config.get('alpha', config.get('negative_slope', 0.3))
+            return lambda x: nn.leaky_relu(x, negative_slope=alpha)
+        if class_name in ('ReLU', 'relu'):
+            return nn.relu
+        if class_name in ('ELU', 'elu'):
+            alpha = config.get('alpha', 1.0)
+            return lambda x: nn.elu(x, alpha=alpha)
+        raise ValueError(f'Failed to resolve activation: {identifier}')
+    raise ValueError(f'Failed to resolve activation: {identifier}')
+
+
+def _canon_padding(padding: str) -> str:
+    if isinstance(padding, str):
+        return padding.upper()
+    return padding
+
+
+def center_crop_to(x: jnp.ndarray, target_h: int, target_w: int) -> jnp.ndarray:
+    '''Center-crop an NHWC tensor spatially to (target_h, target_w).
+
+    Mirrors the skip-alignment crop at reference components.py:162-163.
+    Shapes are static under jit so this lowers to a static slice.
+    '''
+    h, w = x.shape[1], x.shape[2]
+    top = (h - target_h) // 2
+    left = (w - target_w) // 2
+    return x[:, top:top + target_h, left:left + target_w, :]
+
+
+class ConvChain(nn.Module):
+    '''``n_conv`` stacked Conv2D layers, optionally interleaved with BatchNorm.
+
+    Matches the Keras ``Sequential([conv, bn?, conv, bn?, ...])`` used in both
+    Downsample and Upsample blocks (reference components.py:46-61, :122-134).
+    '''
+    filters: int
+    kernel_size: int
+    conv_stride: int
+    bn: bool
+    n_conv: int = 2
+    padding: str = 'VALID'
+    activation: Any = 'relu'
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        act = solve_activation(self.activation)
+        for i in range(self.n_conv):
+            x = nn.Conv(
+                features=self.filters,
+                kernel_size=(self.kernel_size, self.kernel_size),
+                strides=(self.conv_stride, self.conv_stride),
+                padding=_canon_padding(self.padding),
+                dtype=self.dtype,
+                name=f'conv_{i}',
+            )(x)
+            x = act(x)
+            if self.bn:
+                x = nn.BatchNorm(
+                    use_running_average=not training,
+                    momentum=0.99, epsilon=1e-3, dtype=self.dtype,
+                    name=f'bn_{i}',
+                )(x)
+        return x
+
+
+class Downsample(nn.Module):
+    '''Downsampling block: conv chain -> (skip, max-pooled).'''
+    filters: int
+    rate: int
+    kernel_size: int
+    conv_stride: int
+    bn: bool
+    n_conv: int = 2
+    padding: str = 'VALID'
+    activation: Any = 'relu'
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        conv = ConvChain(
+            filters=self.filters, kernel_size=self.kernel_size,
+            conv_stride=self.conv_stride, bn=self.bn, n_conv=self.n_conv,
+            padding=self.padding, activation=self.activation, dtype=self.dtype,
+            name='convchain',
+        )(x, training=training)
+        pooled = nn.max_pool(
+            conv, window_shape=(self.rate, self.rate),
+            strides=(self.rate, self.rate))
+        if self.bn:
+            pooled = nn.BatchNorm(
+                use_running_average=not training,
+                momentum=0.99, epsilon=1e-3, dtype=self.dtype,
+                name='pool_bn',
+            )(pooled)
+        return conv, pooled
+
+
+class Upsample(nn.Module):
+    '''Upsampling block: tconv -> center-crop skip -> concat -> conv chain.'''
+    filters: int
+    rate: int
+    kernel_size: int
+    conv_stride: int
+    bn: bool
+    n_conv: int = 2
+    padding: str = 'VALID'
+    activation: Any = 'relu'
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, reference, training: bool = False):
+        up = nn.ConvTranspose(
+            features=self.filters,
+            kernel_size=(self.rate, self.rate),
+            strides=(self.rate, self.rate),
+            padding=_canon_padding(self.padding),
+            dtype=self.dtype,
+            name='tconv',
+        )(x)
+        if self.bn:
+            up = nn.BatchNorm(
+                use_running_average=not training,
+                momentum=0.99, epsilon=1e-3, dtype=self.dtype,
+                name='tconv_bn',
+            )(up)
+        cropped = center_crop_to(reference, up.shape[1], up.shape[2])
+        x = jnp.concatenate([up, cropped.astype(up.dtype)], axis=-1)
+        x = ConvChain(
+            filters=self.filters, kernel_size=self.kernel_size,
+            conv_stride=self.conv_stride, bn=self.bn, n_conv=self.n_conv,
+            padding=self.padding, activation=self.activation, dtype=self.dtype,
+            name='convchain',
+        )(x, training=training)
+        return x
+
+
+class Encoder(nn.Module):
+    '''Chain of Downsample blocks; filters scale by ``rate`` per level.'''
+    filters_first: int
+    n_downsample: int
+    rate: int
+    kernel_size: int
+    conv_stride: int
+    bn: bool
+    n_conv: int = 2
+    padding: str = 'VALID'
+    activation: Any = 'relu'
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        skips = []
+        filters = self.filters_first
+        for i in range(self.n_downsample):
+            skip, x = Downsample(
+                filters=filters, rate=self.rate, kernel_size=self.kernel_size,
+                conv_stride=self.conv_stride, bn=self.bn, n_conv=self.n_conv,
+                padding=self.padding, activation=self.activation,
+                dtype=self.dtype, name=f'down_{i}',
+            )(x, training=training)
+            skips.append(skip)
+            filters = int(self.rate * filters)
+        return skips, x
+
+
+class Decoder(nn.Module):
+    '''Chain of Upsample blocks driven by the reversed skip list.
+
+    Filter counts come from the skip channels (reference components.py:292-306
+    builds each Upsample with ``filters=ref_shape[-1]``).
+    '''
+    rate: int
+    kernel_size: int
+    conv_stride: int
+    bn: bool
+    n_conv: int = 2
+    padding: str = 'VALID'
+    activation: Any = 'relu'
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, skips: Sequence[jnp.ndarray], training: bool = False):
+        for i, skip in enumerate(reversed(skips)):
+            x = Upsample(
+                filters=skip.shape[-1], rate=self.rate,
+                kernel_size=self.kernel_size, conv_stride=self.conv_stride,
+                bn=self.bn, n_conv=self.n_conv, padding=self.padding,
+                activation=self.activation, dtype=self.dtype, name=f'up_{i}',
+            )(x, skip, training=training)
+        return x

@@ -1,0 +1,140 @@
+'''UNet / MulmoUNet annotator models (Flax linen, NHWC).
+
+Parity with reference annotator/models/tf_models/unet.py:
+
+- ``UNet`` (unet.py:19-88): Encoder + Decoder.
+- ``MulmoUNet`` (unet.py:91-191): one Encoder per input channel applied to
+  that channel alone, bottlenecks concatenated on the channel axis, a single
+  Decoder fed the skips of ``encoders[reference_index]`` only.
+- ``UNetAnnotator`` / ``MulmoUNetAnnotator`` (unet.py:194-300): the U-Net body
+  plus a 1x1 sigmoid conv head producing [B, H, W, 1].
+
+The annotator modules return **logits** when ``return_logits=True`` so the
+loss can run a numerically-stable sigmoid-BCE (the reference recovers logits
+from the sigmoid output via ``y_pred._keras_logits``, losses.py:61).
+'''
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from . import blocks
+
+
+class UNet(nn.Module):
+    '''Plain U-Net body (no head).'''
+    filters_first: int
+    n_downsample: int
+    rate: int
+    kernel_size: int
+    conv_stride: int
+    bn: bool = False
+    padding: str = 'valid'
+    activation: Any = 'relu'
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        skips, x = blocks.Encoder(
+            filters_first=self.filters_first, n_downsample=self.n_downsample,
+            rate=self.rate, kernel_size=self.kernel_size,
+            conv_stride=self.conv_stride, bn=self.bn, padding=self.padding,
+            activation=self.activation, dtype=self.dtype, name='encoder',
+        )(x, training=training)
+        x = blocks.Decoder(
+            rate=self.rate, kernel_size=self.kernel_size,
+            conv_stride=self.conv_stride, bn=self.bn, padding=self.padding,
+            activation=self.activation, dtype=self.dtype, name='decoder',
+        )(x, skips, training=training)
+        return x
+
+
+class MulmoUNet(nn.Module):
+    '''Multimodal U-Net: per-channel encoders, concat latents, single decoder.
+
+    Skips are taken from the encoder at ``reference_index``
+    (reference unet.py:180-191).
+    '''
+    filters_first: int
+    n_downsample: int
+    rate: int
+    kernel_size: int
+    conv_stride: int
+    bn: bool = False
+    padding: str = 'valid'
+    activation: Any = 'relu'
+    reference_index: int = 0
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        n_channels = x.shape[-1]
+        skips_list = []
+        bottlenecks = []
+        for idx in range(n_channels):
+            skips, bottom = blocks.Encoder(
+                filters_first=self.filters_first,
+                n_downsample=self.n_downsample, rate=self.rate,
+                kernel_size=self.kernel_size, conv_stride=self.conv_stride,
+                bn=self.bn, padding=self.padding, activation=self.activation,
+                dtype=self.dtype, name=f'encoder_{idx}',
+            )(x[..., idx:idx + 1], training=training)
+            skips_list.append(skips)
+            bottlenecks.append(bottom)
+        bottleneck = jnp.concatenate(bottlenecks, axis=-1)
+        out = blocks.Decoder(
+            rate=self.rate, kernel_size=self.kernel_size,
+            conv_stride=self.conv_stride, bn=self.bn, padding=self.padding,
+            activation=self.activation, dtype=self.dtype, name='decoder',
+        )(bottleneck, skips_list[self.reference_index], training=training)
+        return out
+
+
+class UNetAnnotator(nn.Module):
+    '''U-Net + 1x1 sigmoid conv head -> [B, H, W, 1] probabilities.'''
+    n_filters_first: int
+    n_downsample: int
+    rate: int
+    kernel_size: int
+    conv_stride: int
+    bn: bool = False
+    padding: str = 'valid'
+    activation: Any = 'relu'
+    kernel_regularizer: Any = None
+    dtype: Optional[Any] = None
+
+    def _body(self):
+        return UNet(
+            filters_first=self.n_filters_first, n_downsample=self.n_downsample,
+            rate=self.rate, kernel_size=self.kernel_size,
+            conv_stride=self.conv_stride, bn=self.bn, padding=self.padding,
+            activation=self.activation, dtype=self.dtype, name='unet',
+        )
+
+    @nn.compact
+    def __call__(self, x, training: bool = False, return_logits: bool = False):
+        x = self._body()(x, training=training)
+        logits = nn.Conv(
+            features=1, kernel_size=(1, 1),
+            padding=blocks._canon_padding(self.padding), dtype=self.dtype,
+            name='last_conv',
+        )(x)
+        logits = logits.astype(jnp.float32)
+        if return_logits:
+            return logits
+        return nn.sigmoid(logits)
+
+
+class MulmoUNetAnnotator(UNetAnnotator):
+    '''Annotator head on top of MulmoUNet.'''
+    reference_index: int = 0
+
+    def _body(self):
+        return MulmoUNet(
+            filters_first=self.n_filters_first, n_downsample=self.n_downsample,
+            rate=self.rate, kernel_size=self.kernel_size,
+            conv_stride=self.conv_stride, bn=self.bn, padding=self.padding,
+            activation=self.activation, reference_index=self.reference_index,
+            dtype=self.dtype, name='mulmo_unet',
+        )

@@ -1,0 +1,79 @@
+'''Connected-components labeling, jit-compatible.
+
+The reference relies on ``tfa.image.connected_components`` (C++ union-find,
+4-connectivity) for its region-based metrics (reference:
+annotator/utils/metrics.py:126-139). There is no XLA library op, so this is a
+TPU-native reimplementation: iterative **min-label propagation with pointer
+jumping** inside a ``lax.while_loop``. Every step is a stencil min (VPU) plus
+two gathers; convergence is data-dependent but bounded, and the whole thing
+jits, vmaps (over thresholds / batch), and shards.
+
+Output contract matches what the metrics need from tfa: each connected region
+of the boolean mask gets a distinct positive id (compacted to 1..n), 0 is
+background, with 4-connectivity.
+'''
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _neighbor_min(labels, sentinel):
+    '''Min over 4-neighborhood (cross), padding with sentinel.'''
+    up = jnp.concatenate([labels[1:, :], jnp.full_like(labels[:1, :], sentinel)], axis=0)
+    down = jnp.concatenate([jnp.full_like(labels[:1, :], sentinel), labels[:-1, :]], axis=0)
+    left = jnp.concatenate([labels[:, 1:], jnp.full_like(labels[:, :1], sentinel)], axis=1)
+    right = jnp.concatenate([jnp.full_like(labels[:, :1], sentinel), labels[:, :-1]], axis=1)
+    return jnp.minimum(jnp.minimum(jnp.minimum(up, down), jnp.minimum(left, right)), labels)
+
+
+def connected_components(mask):
+    '''Label 4-connected regions of a boolean mask.
+
+    Args:
+        mask: [H, W] bool array.
+
+    Returns:
+        labels: [H, W] int32, 0 = background, regions labeled 1..n in
+            first-pixel (row-major) order.
+        n_regions: scalar int32 count of regions.
+    '''
+    h, w = mask.shape
+    hw = h * w
+    sentinel = jnp.int32(hw)
+    idx = lax.broadcasted_iota(jnp.int32, (h, w), 0) * w + \
+        lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    init = jnp.where(mask, idx, sentinel)
+
+    def pointer_jump(l):
+        flat = l.reshape(-1)
+        jumped = flat[jnp.clip(flat, 0, hw - 1)].reshape(h, w)
+        return jnp.where(mask, jnp.minimum(l, jumped), sentinel)
+
+    def body(state):
+        labels, _ = state
+        new = _neighbor_min(labels, sentinel)
+        new = jnp.where(mask, new, sentinel)
+        new = pointer_jump(new)
+        new = pointer_jump(new)
+        changed = jnp.any(new != labels)
+        return new, changed
+
+    def cond(state):
+        return state[1]
+
+    labels, _ = lax.while_loop(cond, body, (init, jnp.bool_(True)))
+
+    # Compact to 1..n: a pixel is a root iff its label equals its own index.
+    flat = labels.reshape(-1)
+    is_root = (flat == jnp.arange(hw, dtype=jnp.int32)) & mask.reshape(-1)
+    ranks = jnp.cumsum(is_root.astype(jnp.int32))  # 1-based at root positions
+    compact = jnp.where(
+        mask.reshape(-1), ranks[jnp.clip(flat, 0, hw - 1)], 0).reshape(h, w)
+    n_regions = ranks[-1]
+    return compact, n_regions
+
+
+def connected_components_batch(masks):
+    '''vmapped CCA over a leading batch/threshold axis ([N, H, W] bool).'''
+    return jax.vmap(connected_components)(masks)

@@ -1,0 +1,70 @@
+'''Basic image ops (crop / resize / photometric) in JAX.
+
+TPU-native equivalents of the TF image ops used throughout the reference data
+pipeline (reference: annotator/data.py:183-206, :594-689; metrics.py:196-204;
+callbacks.py:416-420).
+'''
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def crop_to_bounding_box(image, offset_h, offset_w, target_h, target_w):
+    '''Crop [..., H, W, C] at a (possibly traced) offset to a static size.
+
+    Equivalent of ``tf.image.crop_to_bounding_box``; uses ``dynamic_slice`` so
+    the offsets may be traced values (needed for random crops under jit).
+    '''
+    ndim = image.ndim
+    starts = [0] * ndim
+    sizes = list(image.shape)
+    h_axis, w_axis = ndim - 3, ndim - 2
+    starts[h_axis] = offset_h
+    starts[w_axis] = offset_w
+    sizes[h_axis] = target_h
+    sizes[w_axis] = target_w
+    starts = [jnp.asarray(s, jnp.int32) for s in starts]
+    return lax.dynamic_slice(image, starts, sizes)
+
+
+def center_crop(image, target_h, target_w):
+    '''Center crop, matching ``(shape - output_size) // 2`` offsets
+    (reference data.py:183-190).'''
+    h, w = image.shape[-3], image.shape[-2]
+    return crop_to_bounding_box(
+        image, (h - target_h) // 2, (w - target_w) // 2, target_h, target_w)
+
+
+def resize_bilinear(image, target_h, target_w):
+    '''Bilinear resize with half-pixel centers (TF2 ``tf.image.resize``
+    default semantics — jax.image.resize('linear') matches).'''
+    shape = list(image.shape)
+    shape[-3], shape[-2] = target_h, target_w
+    return jax.image.resize(image.astype(jnp.float32), shape, method='linear')
+
+
+def random_contrast(key, image, lower, upper, target_channels):
+    '''Per-image random contrast on selected channels.
+
+    TF semantics (``tf.image.random_contrast``): draw one factor for the image,
+    then ``(x - mean_c) * factor + mean_c`` with a per-channel spatial mean.
+    Only ``target_channels`` are adjusted; others pass through (reference
+    data.py:594-609).
+
+    Args:
+        key: PRNG key.
+        image: [H, W, C].
+    '''
+    factor = jax.random.uniform(key, (), minval=lower, maxval=upper)
+    means = jnp.mean(image, axis=(0, 1), keepdims=True)  # [1, 1, C]
+    adjusted = (image - means) * factor + means
+    c = image.shape[-1]
+    mask = jnp.zeros((c,), bool).at[jnp.asarray(target_channels)].set(True)
+    return jnp.where(mask[None, None, :], adjusted, image)
+
+
+def random_flip_left_right(key, image):
+    '''Flip the width axis with probability 0.5 ([H, W, C]).'''
+    flip = jax.random.bernoulli(key)
+    return lax.cond(flip, lambda x: x[:, ::-1, :], lambda x: x, image)
