@@ -1,0 +1,168 @@
+'''On-device, jit-compiled augmentation suite.
+
+Reimplements the reference's tf.data augmentations (reference:
+annotator/data.py:538-763) as pure JAX transforms over **batched** images
+with explicit PRNG-key threading. The reference applies per-element host-side
+maps; here every op is vmapped across the batch and the whole chain compiles
+into the training step, so augmentation rides the TPU instead of the host CPU.
+
+Ops and their reference semantics:
+- random_crop (data.py:677-689): jittered center crop; offset noise is
+  round-free float->int32 cast (truncation) of N(0, stddev), clipped.
+- random_flip (data.py:620-625): left-right flip, p=0.5.
+- random_contrast (data.py:586-609): one contrast factor per image applied to
+  the feature channels only; label channel untouched.
+- random_warp (data.py:628-644, :718-763): thin-plate-spline warp with
+  n_points uniform control points and clipped Gaussian displacements, applied
+  to all channels together (label stays aligned).
+- random_intrachannelwarp (data.py:656-715): independent warps per channel
+  group; ``paired`` channel groups share a warp.
+
+``parse_augment_options`` mirrors the config-name resolution at
+data.py:538-551 (YAML keys ``random_crop`` etc., with per-op defaults).
+'''
+
+import functools
+from typing import Any, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import image as image_ops
+from ..ops import warp as warp_ops
+
+
+def random_crop(image, key, output_size=(512, 512), stddev=4, max_=6, min_=-6):
+    '''Jittered center crop of one [H, W, C] image.'''
+    diff = jnp.clip(
+        (jax.random.normal(key, [2]) * stddev).astype(jnp.int32), min_, max_)
+    h, w = image.shape[0], image.shape[1]
+    th, tw = output_size
+    off = jnp.array([(h - th) // 2, (w - tw) // 2], jnp.int32) + diff
+    off = jnp.clip(off, 0, jnp.array([h - th, w - tw], jnp.int32))
+    return image_ops.crop_to_bounding_box(image, off[0], off[1], th, tw)
+
+
+def random_flip(image, key):
+    return image_ops.random_flip_left_right(key, image)
+
+
+def random_contrast(image, key, target_channels, lower=0.8, upper=1.2):
+    return image_ops.random_contrast(key, image, lower, upper, target_channels)
+
+
+def _warp_points(key, n_images, n_points, size, stddev, max_diff):
+    k1, k2 = jax.random.split(key)
+    raw = jax.random.uniform(
+        k1, [n_images, n_points, 2], minval=0.0, maxval=float(size))
+    diff = jax.random.normal(k2, [n_images, n_points, 2]) * stddev
+    diff = jnp.clip(diff, -float(max_diff), float(max_diff))
+    return raw, raw + diff
+
+
+def random_warp_batch(images, key, n_points=100, max_diff=5, stddev=2.0,
+                      process_in_batch=None):
+    '''Warp a batch [B, H, W, C]; each image gets its own control points.
+
+    ``process_in_batch`` is accepted for config parity (the reference uses it
+    to batch host-side work, data.py:628-644); on TPU the whole batch is
+    always processed at once.
+    '''
+    del process_in_batch
+    b, h, w, _ = images.shape
+    src, dst = _warp_points(key, b, n_points, w, stddev, max_diff)
+    return warp_ops.sparse_image_warp(images, src, dst)
+
+
+def random_intrachannelwarp_batch(images, key, n_points=100, max_diff=5,
+                                  stddev=2.0, paired=((0, -1),)):
+    '''Warp channel groups independently (misalignment experiment op).'''
+    b, h, w, c = images.shape
+    paired = [
+        [ch if ch >= 0 else c + ch for ch in group] for group in paired]
+    grouped = set(ch for group in paired for ch in group)
+    groups = list(paired) + [[ch] for ch in range(c) if ch not in grouped]
+
+    out_channels = [None] * c
+    keys = jax.random.split(key, len(groups))
+    for gkey, group in zip(keys, groups):
+        sub = images[..., jnp.array(group)]
+        src, dst = _warp_points(gkey, b, n_points, w, stddev, max_diff)
+        warped = warp_ops.sparse_image_warp(sub, src, dst)
+        for j, ch in enumerate(group):
+            out_channels[ch] = warped[..., j]
+    return jnp.stack(out_channels, axis=-1)
+
+
+# per-element ops get vmapped over the batch; batch ops run as-is
+_PER_ELEMENT = {
+    'random_crop': random_crop,
+    'random_flip': random_flip,
+    'random_contrast': random_contrast,
+    'random_hue': None,  # greyscale data; accepted but rejected at parse time
+}
+_BATCH = {
+    'random_warp': random_warp_batch,
+    'random_intrachannelwarp': random_intrachannelwarp_batch,
+}
+
+
+def parse_augment_options(augment_options: Dict[str, Any],
+                          slice_types: Sequence[str],
+                          output_size=(256, 256)):
+    '''Resolve config augment specs to an ordered [(name, options)] list with
+    the reference's per-op defaults merged in (data.py:88-93).'''
+    if augment_options is None:
+        augment_options = {'random_crop': {}}
+    defaults = {
+        'random_crop': dict(output_size=tuple(output_size)),
+        'random_flip': {},
+        'random_contrast': dict(
+            target_channels=list(range(len(slice_types[:-1])))),
+        'random_warp': {},
+    }
+    resolved = []
+    for name, conf in augment_options.items():
+        if name not in _PER_ELEMENT and name not in _BATCH:
+            raise KeyError(f'Unknown augmentation {name!r}')
+        if name == 'random_hue':
+            raise NotImplementedError('random_hue needs RGB data')
+        merged = dict(defaults.get(name, {}))
+        merged.update(conf or {})
+        if 'output_size' in merged:
+            merged['output_size'] = tuple(merged['output_size'])
+        if 'paired' in merged:
+            merged['paired'] = tuple(map(tuple, merged['paired']))
+        if 'target_channels' in merged:
+            merged['target_channels'] = tuple(merged['target_channels'])
+        resolved.append((name, merged))
+    return resolved
+
+
+def build_augment_fn(methods):
+    '''Compose an ordered [(name, options)] list into one batched transform
+    ``fn(images [B,H,W,C] float, key) -> images``. jit-safe.'''
+
+    def apply_all(images, key):
+        keys = jax.random.split(key, max(len(methods), 1))
+        for (name, options), op_key in zip(methods, keys):
+            if name in _BATCH:
+                images = _BATCH[name](images, op_key, **options)
+            else:
+                fn = functools.partial(_PER_ELEMENT[name], **options)
+                elem_keys = jax.random.split(op_key, images.shape[0])
+                images = jax.vmap(fn)(images, elem_keys)
+        return images
+
+    return apply_all
+
+
+def to_feature_label(images, slice_types):
+    '''Split [B, H, W, C] into (x [B,H,W,C-1], y [B,H,W]) by the label channel
+    (reference data.py:766-788).'''
+    slice_types = list(slice_types)
+    label_index = slice_types.index('label')
+    feature_indices = [i for i in range(len(slice_types)) if i != label_index]
+    x = images[..., jnp.array(feature_indices)]
+    y = images[..., label_index]
+    return x, y

@@ -1,0 +1,276 @@
+'''Dataset pipeline: host-side streaming/shuffling/batching of uint8 slices,
+with all float math deferred to jitted device transforms.
+
+Parity map to the reference tf.data pipeline (reference: annotator/data.py):
+
+- ``train_ds`` (data.py:62-111): base 512-crop -> augmentation chain ->
+  feature/label split -> shuffle(buffer) -> repeat -> batch -> prefetch.
+  Here the host stream yields raw uint8 slices (shuffled/batched) and the
+  augmentation + normalize + split compile into the engine's train step.
+- ``eval_ds`` (data.py:114-144): deterministic center-crop, optional metadata
+  lane, fixed batching.
+- ``normalize_exams`` (data.py:515-525): equal sampling across .tfrecords
+  files via per-file infinite round-robin (for the directory branch, per-exam
+  round-robin, matching data.py:168-179).
+- Metadata elements carry {patientID, examID, path, category, slice_types,
+  sliceID} with sliceID = index within the exam (data.py:488-509). Strings
+  stay on the host — device batches carry only the image tensor.
+'''
+
+import itertools
+import os
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from . import augment as augment_mod
+from . import records
+from .records import DEFAULT_SLICE_TYPES, TFRecordExamReader
+
+
+def _is_tfrecords(path):
+    return os.path.splitext(path)[1] == '.tfrecords'
+
+
+def _center_crop_or_pad(img, th, tw):
+    '''Center crop [H, W, C] to (th, tw); pads with zeros if smaller.'''
+    h, w = img.shape[0], img.shape[1]
+    if h < th or w < tw:
+        pad_h, pad_w = max(th - h, 0), max(tw - w, 0)
+        img = np.pad(img, ((pad_h // 2, pad_h - pad_h // 2),
+                           (pad_w // 2, pad_w - pad_w // 2), (0, 0)))
+        h, w = img.shape[0], img.shape[1]
+    top, left = (h - th) // 2, (w - tw) // 2
+    return img[top:top + th, left:left + tw, :]
+
+
+def _exam_elements(exam, crop=None):
+    '''Yield (slice_uint8, meta) per slice of one exam dict.'''
+    slices = exam['slices']
+    for slice_id in range(slices.shape[0]):
+        img = slices[slice_id]
+        if crop is not None:
+            img = _center_crop_or_pad(img, *crop)
+        meta = dict(
+            patientID=exam['patientID'], examID=exam['examID'],
+            path=exam['path'], category=exam['category'],
+            slice_types=list(exam['slice_types']), sliceID=slice_id)
+        yield img, meta
+
+
+class _DirExamSource:
+    '''One exam directory as an exam source (directory-tree branch).'''
+
+    def __init__(self, exam_dir, slice_types):
+        self.exam_dir = exam_dir
+        self.slice_types = tuple(slice_types)
+        self._exam = None
+
+    def iter_exams(self):
+        if self._exam is None:
+            exam = records.prepare_combined_slices(
+                self.exam_dir, slice_types=self.slice_types)
+            exam['slice_types'] = list(self.slice_types)
+            self._exam = exam
+        yield self._exam
+
+
+def _sources(paths, slice_types):
+    '''Resolve data paths into per-source exam readers.
+
+    .tfrecords files -> one source per file; directories -> one source per
+    exam dir (glob path/*/*/*, reference data.py:168-179, :256-257).
+    '''
+    if isinstance(paths, str):
+        paths = [paths]
+    paths = list(paths)
+    if _is_tfrecords(paths[0]):
+        assert all(map(_is_tfrecords, paths)), \
+            'cannot mix .tfrecords files and directories'
+        return [TFRecordExamReader(p, slice_types) for p in paths]
+    from glob import glob
+    exam_dirs = []
+    for p in paths:
+        assert os.path.isdir(p), f'not a directory: {p}'
+        exam_dirs.extend(sorted(glob(os.path.join(p, *'*' * 3))))
+    return [_DirExamSource(d, slice_types) for d in exam_dirs]
+
+
+def _source_stream(source, crop, repeat):
+    '''Slice elements of one source, optionally cycling forever.'''
+    while True:
+        count = 0
+        for exam in source.iter_exams():
+            for element in _exam_elements(exam, crop):
+                count += 1
+                yield element
+        if not repeat or count == 0:
+            return
+
+
+def _interleave(streams):
+    '''Round-robin across streams (equal sampling; reference interleave
+    with per-source repeat, data.py:517-525).'''
+    alive = list(streams)
+    while alive:
+        nxt = []
+        for stream in alive:
+            try:
+                yield next(stream)
+                nxt.append(stream)
+            except StopIteration:
+                pass
+        alive = nxt
+
+
+def _shuffle(stream, buffer_size, rng):
+    '''tf.data-style buffered shuffle: fill a buffer, emit a random element,
+    backfill from the stream.'''
+    buf = []
+    for item in stream:
+        if len(buf) < buffer_size:
+            buf.append(item)
+            continue
+        i = int(rng.integers(len(buf)))
+        out, buf[i] = buf[i], item
+        yield out
+    rng.shuffle(buf)
+    yield from buf
+
+
+class TrainDataset:
+    '''Training dataset handle.
+
+    Yields raw uint8 [B, base, base, C] host batches; the augmentation chain
+    (``augment_methods``) plus normalize/split run on device inside the
+    engine's jitted train step.
+    '''
+
+    def __init__(self, path, batch_size, buffer_size, repeat=True,
+                 slice_types=DEFAULT_SLICE_TYPES, normalize_exams=True,
+                 output_size=(256, 256), augment_options=None, base_size=512,
+                 seed=0):
+        self.slice_types = tuple(slice_types)
+        self.batch_size = batch_size
+        self.buffer_size = buffer_size
+        self.repeat = repeat
+        self.normalize_exams = normalize_exams
+        self.output_size = tuple(output_size)
+        self.base_size = (base_size, base_size)
+        self.seed = seed
+        self.paths = path
+        self.augment_methods = augment_mod.parse_augment_options(
+            augment_options, self.slice_types, self.output_size)
+        self.n_channels = len(self.slice_types)
+        # When the first augmentation is a jittered center crop, only a
+        # centered (out + 2*max_jitter) window of the source can ever be read
+        # — pre-crop on the host so the device transfer shrinks accordingly
+        # (identical semantics: the crop offset is relative to the center).
+        self.host_crop = self.base_size
+        if self.augment_methods and self.augment_methods[0][0] == 'random_crop':
+            opts = self.augment_methods[0][1]
+            margin = 2 * int(opts.get('max_', 6))
+            th, tw = opts.get('output_size', self.output_size)
+            self.host_crop = (min(th + margin, self.base_size[0]),
+                              min(tw + margin, self.base_size[1]))
+
+    @property
+    def element_shape(self):
+        '''Raw batch shape fed to the device.'''
+        return (self.batch_size, *self.host_crop, self.n_channels)
+
+    @property
+    def feature_shape(self):
+        '''Post-augmentation feature shape [B, h, w, C-1].'''
+        out = self.output_size if any(
+            n == 'random_crop' for n, _ in self.augment_methods) \
+            else self.base_size
+        return (self.batch_size, *out, self.n_channels - 1)
+
+    def raw_batches(self, seed=None) -> Iterator[np.ndarray]:
+        '''Infinite (if repeat) stream of raw uint8 batches.'''
+        rng = np.random.default_rng(self.seed if seed is None else seed)
+        sources = _sources(self.paths, self.slice_types)
+        streams = [
+            _source_stream(s, self.host_crop, repeat=self.normalize_exams)
+            for s in sources]
+        stream = _interleave(streams)
+        if self.normalize_exams and not self.repeat:
+            pass  # normalize implies infinite; repeat flag governs epochs
+        stream = (img for img, _meta in stream)
+        stream = _shuffle(stream, self.buffer_size, rng)
+        batch = []
+        for img in stream:
+            batch.append(img)
+            if len(batch) == self.batch_size:
+                yield np.ascontiguousarray(np.stack(batch))
+                batch = []
+
+
+class EvalDataset:
+    '''Evaluation dataset handle: deterministic, finite, optional metadata.'''
+
+    def __init__(self, path, batch_size, slice_types=DEFAULT_SLICE_TYPES,
+                 include_meta=False, output_size=(512, 512)):
+        self.slice_types = tuple(slice_types)
+        self.batch_size = batch_size
+        self.include_meta = include_meta
+        self.output_size = tuple(output_size) if output_size else None
+        self.paths = path
+        self.n_channels = len(self.slice_types)
+        self._n_batches = None
+
+    @property
+    def element_shape(self):
+        return (self.batch_size, *self.output_size, self.n_channels)
+
+    @property
+    def feature_shape(self):
+        '''Shape of the model input (label channel excluded).'''
+        return (self.batch_size, *self.output_size, self.n_channels - 1)
+
+    def batches(self):
+        '''Yield dicts {'slices': uint8 [b, h, w, C], 'meta': [b dicts]}.
+        The final batch may be smaller.'''
+        sources = _sources(self.paths, self.slice_types)
+        imgs, metas = [], []
+        for source in sources:
+            for exam in source.iter_exams():
+                for img, meta in _exam_elements(exam, self.output_size):
+                    imgs.append(img)
+                    metas.append(meta)
+                    if len(imgs) == self.batch_size:
+                        yield dict(slices=np.stack(imgs), meta=metas)
+                        imgs, metas = [], []
+        if imgs:
+            yield dict(slices=np.stack(imgs), meta=metas)
+
+    def __len__(self):
+        if self._n_batches is None:
+            self._n_batches = sum(1 for _ in self.batches())
+        return self._n_batches
+
+
+def train_ds(path, batch_size, buffer_size, repeat=True,
+             slice_types=DEFAULT_SLICE_TYPES, normalize_exams=True,
+             output_size=(256, 256), augment_options=None, **kwargs):
+    '''Build the training dataset (reference data.py:62-111 signature).'''
+    return TrainDataset(
+        path, batch_size=batch_size, buffer_size=buffer_size, repeat=repeat,
+        slice_types=slice_types, normalize_exams=normalize_exams,
+        output_size=output_size, augment_options=augment_options, **kwargs)
+
+
+def eval_ds(path, batch_size, slice_types=DEFAULT_SLICE_TYPES,
+            include_meta=False, output_size=(512, 512), **kwargs):
+    '''Build the evaluation dataset (reference data.py:114-144 signature).'''
+    return EvalDataset(
+        path, batch_size=batch_size, slice_types=slice_types,
+        include_meta=include_meta, output_size=output_size)
+
+
+def predict_ds(path, slice_types=DEFAULT_SLICE_TYPES, output_size=(512, 512)):
+    '''Prediction dataset: batch-1 eval elements (reference data.py:147-154;
+    the reference leaves the predict CLI a stub — here it is wired up).'''
+    return EvalDataset(path, batch_size=1, slice_types=slice_types,
+                       include_meta=True, output_size=output_size)

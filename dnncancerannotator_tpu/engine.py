@@ -1,0 +1,608 @@
+'''Training / evaluation engine.
+
+TPU-native counterpart of the reference's ``TFKerasModel`` orchestrator
+(reference: annotator/engine.py:36-288), preserving its observable behavior:
+
+- model/loss/metric/optimizer resolution from the stacked config
+  (engine.py:254-288), including the Adam defaults the reference pins
+  (lr 0.001, beta1 0.9, beta2 0.999, eps 1e-7; engine.py:276-284);
+- "1 step == 1 epoch" cadence: checkpoints and validation every ``save_freq``
+  steps (engine.py:126-135), auto-resume from the latest checkpoint
+  (engine.py:67-78), early stopping by steps-without-improvement;
+- per-checkpoint evaluation producing a results row per checkpoint with
+  ``min_interval`` / ``step_range`` filters (engine.py:139-210).
+
+TPU-first design:
+- one jitted train step fuses device-side augmentation, forward, backward and
+  the Adam update; the batch is sharded over the mesh ``data`` axis and GSPMD
+  inserts the gradient psum over ICI (replacing MirroredStrategy+NCCL);
+- the train state (params / batch_stats / opt_state) is replicated, donated
+  to the step, and checkpointed with Orbax (step-indexed ``ckpt-{step}``
+  directories, enumerated the same way the reference scans Keras checkpoint
+  files);
+- unlike the reference (weights-only checkpoints), optimizer state and step
+  are checkpointed, so resume restores Adam moments and the LR schedule.
+'''
+
+import copy
+import functools
+import logging
+import os
+import re
+import time
+from collections import OrderedDict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from . import models as models_lib
+from . import metrics as metrics_lib
+from .data import augment as augment_mod
+from .parallel import mesh as mesh_lib
+from .train import losses as losses_lib
+from .train import schedules as schedules_lib
+from .utils import tboard
+
+logger = logging.getLogger(__name__)
+
+
+class _Prefetcher:
+    '''Background host->device pipeline: produces already-device_put batches
+    a few steps ahead so host batch assembly and the PCIe/relay transfer
+    overlap with device compute (the tf.data prefetch(AUTOTUNE) analog,
+    reference data.py:110).'''
+
+    _DONE = object()
+
+    def __init__(self, iterator, transform, depth=3):
+        import queue
+        import threading
+        self._q = queue.Queue(maxsize=depth)
+        self._err = None
+
+        def run():
+            try:
+                for item in iterator:
+                    self._q.put(transform(item))
+            except BaseException as exc:  # surface in consumer
+                self._err = exc
+            finally:
+                self._q.put(self._DONE)
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._DONE:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
+class TrainResults:
+    '''History container (parity with Keras History for dump_train_results).'''
+
+    def __init__(self, model_name, params):
+        self.epoch = []
+        self.history = {}
+        self.params = params
+        self.model_name = model_name
+
+    def append(self, step, logs):
+        self.epoch.append(step)
+        for k, v in logs.items():
+            self.history.setdefault(k, []).append(float(v))
+
+
+class Engine:
+    '''Encapsulates a model plus its training/eval machinery.'''
+
+    CKPT_PATTERN = re.compile(r'^ckpt-(\d+)$')
+
+    def __init__(self, model_config, seed=0):
+        assert 'model' in model_config
+        assert 'model_options' in model_config
+        assert 'deploy_options' in model_config
+        self.model_config = copy.deepcopy(model_config)
+        self.seed = seed
+
+        deploy = copy.deepcopy(model_config['deploy_options'])
+        self.enable_multigpu = deploy.pop('enable_multigpu', True)
+        lr_spec = deploy.pop('LearningRateScheduler', None)
+        self.schedule = schedules_lib.solve_schedule(lr_spec) \
+            or schedules_lib.constant(0.001)
+        optimizer = deploy.pop('optimizer', 'adam')
+        loss_spec = deploy.pop('loss', 'WeightedCrossentropy')
+        self.loss = losses_lib.solve_loss(loss_spec)
+        self.metric_specs = deploy.pop('metrics', []) or []
+        # compute precision for the conv stack; params stay f32
+        precision = deploy.pop('precision', None)
+        self.compute_dtype = jnp.bfloat16 if precision in (
+            'bfloat16', 'bf16') else None
+        self.steps_per_call = int(deploy.pop('steps_per_call', 1))
+
+        self.model_name = model_config['model']
+        self.model, regularizer = models_lib.build_model(
+            self.model_name, model_config['model_options'],
+            dtype=self.compute_dtype)
+        self.l2_scale = self._solve_regularizer(regularizer)
+
+        if optimizer != 'adam':
+            raise NotImplementedError(f'optimizer {optimizer!r}')
+        self.tx = optax.adam(
+            learning_rate=self.schedule, b1=0.9, b2=0.999, eps=1e-7)
+
+        n_devices = None if self.enable_multigpu else 1
+        self.mesh = mesh_lib.create_mesh(n_devices)
+        self._rep = mesh_lib.replicated(self.mesh)
+        self._data_sh = mesh_lib.batch_sharding(self.mesh)
+
+        self.state = None
+        self.current_step = 0
+        self._compiled = {}
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _solve_regularizer(spec):
+        if spec is None:
+            return 0.0
+        if isinstance(spec, dict) and spec.get('class_name') in ('L2', 'l2'):
+            return float((spec.get('config') or {}).get('l2', 0.01))
+        raise ValueError(f'Unsupported kernel_regularizer: {spec!r}')
+
+    def _reg_loss(self, params):
+        if not self.l2_scale:
+            return 0.0
+        total = 0.0
+        for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+            if any(getattr(k, 'key', None) == 'kernel' for k in path):
+                total = total + jnp.sum(jnp.square(leaf))
+        return self.l2_scale * total
+
+    @property
+    def _has_bn(self):
+        return bool(self.state and self.state.get('batch_stats'))
+
+    # ------------------------------------------------------------------
+    def build(self, input_shape):
+        '''Initialize parameters for [B, H, W, C] inputs (idempotent).'''
+        if self.state is not None:
+            return
+        x = jnp.zeros((1, *input_shape[1:]), jnp.float32)
+        variables = self.model.init(
+            jax.random.PRNGKey(self.seed), x, training=False)
+        params = variables['params']
+        batch_stats = variables.get('batch_stats', {})
+        state = dict(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+        self.state = jax.device_put(state, self._rep)
+        n_params = sum(p.size for p in jax.tree.leaves(params))
+        logger.info('Initialized %s: %d params on mesh %s',
+                    self.model_name, n_params, dict(self.mesh.shape))
+
+    # -- checkpointing ---------------------------------------------------
+    def get_ckpts(self, base_path):
+        '''Enumerate step-indexed checkpoints (parity with engine.py:55-65).'''
+        if not os.path.isdir(base_path):
+            return OrderedDict()
+        found = []
+        for name in os.listdir(base_path):
+            m = self.CKPT_PATTERN.match(name)
+            if m and os.path.isdir(os.path.join(base_path, name)):
+                found.append((int(m.group(1)), os.path.join(base_path, name)))
+        return OrderedDict(sorted(found))
+
+    def save_ckpt(self, base_path, step):
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(os.path.join(base_path, f'ckpt-{step}'))
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, self.state, force=True)
+
+    def load(self, path):
+        '''Load a checkpoint directory into the current state.'''
+        import orbax.checkpoint as ocp
+        assert self.state is not None, 'call build() before load()'
+        template = jax.tree.map(ocp.utils.to_shape_dtype_struct, self.state)
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(os.path.abspath(path), template)
+        self.state = jax.device_put(restored, self._rep)
+        self.current_step = int(self.state['step'])
+        return self
+
+    def _auto_resume(self, base_path):
+        ckpts = self.get_ckpts(base_path)
+        if not ckpts:
+            return
+        latest_step = max(ckpts)
+        self.load(ckpts[latest_step])
+        self.current_step = latest_step
+        logger.warning('Resumed from %s', latest_step)
+
+    # -- compiled steps ----------------------------------------------------
+    def _make_train_step(self, dataset, multi_step=False):
+        '''Build the jitted train step.
+
+        ``multi_step=False``: step(state, raw [B,...], key).
+        ``multi_step=True``: step(state, raw [K,B,...], key) runs K inner
+        steps as a ``lax.scan`` device loop — one dispatch per K steps, the
+        standard TPU host-overhead amortization.
+        '''
+        aug_fn = augment_mod.build_augment_fn(dataset.augment_methods)
+        slice_types = dataset.slice_types
+        has_bn = self._has_bn
+        loss_obj = self.loss
+        model = self.model
+        reg_fn = self._reg_loss
+
+        def one_step(state, raw_batch, key):
+            key = jax.random.fold_in(key, state['step'])
+            images = raw_batch.astype(jnp.float32) / 255.0
+            images = aug_fn(images, key)
+            x, y = augment_mod.to_feature_label(images, slice_types)
+
+            def loss_fn(params):
+                variables = {'params': params}
+                if has_bn:
+                    variables['batch_stats'] = state['batch_stats']
+                    logits, mut = model.apply(
+                        variables, x, training=True, return_logits=True,
+                        mutable=['batch_stats'])
+                else:
+                    logits = model.apply(
+                        variables, x, training=True, return_logits=True)
+                    mut = {}
+                loss = jnp.mean(loss_obj.per_sample(y, logits))
+                total = loss + reg_fn(params)
+                return total, (mut, logits, loss)
+
+            grads, (mut, logits, loss) = jax.grad(
+                loss_fn, has_aux=True)(state['params'])
+            updates, new_opt = self.tx.update(
+                grads, state['opt_state'], state['params'])
+            new_params = optax.apply_updates(state['params'], updates)
+            new_state = dict(
+                params=new_params,
+                batch_stats=mut.get('batch_stats', state['batch_stats']),
+                opt_state=new_opt,
+                step=state['step'] + 1,
+            )
+            probs = jax.nn.sigmoid(jnp.squeeze(logits, -1))
+            return new_state, loss, probs, y
+
+        if not multi_step:
+            return jax.jit(
+                one_step,
+                in_shardings=(self._rep, self._data_sh, self._rep),
+                out_shardings=(self._rep, self._rep, self._data_sh,
+                               self._data_sh),
+                donate_argnums=(0,),
+            )
+
+        def scan_fn(state, raw_batches, key):
+            def body(carry, raw):
+                new_state, loss, probs, y = one_step(carry, raw, key)
+                return new_state, (loss, probs, y)
+
+            state, (losses, probs, y) = jax.lax.scan(body, state, raw_batches)
+            return state, losses, probs[-1], y[-1]
+
+        batch_sh = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec(None, 'data'))
+        return jax.jit(
+            scan_fn,
+            in_shardings=(self._rep, batch_sh, self._rep),
+            out_shardings=(self._rep, self._rep, self._data_sh,
+                           self._data_sh),
+            donate_argnums=(0,),
+        )
+
+    def _make_eval_step(self, slice_types):
+        has_bn = self._has_bn
+        loss_obj = self.loss
+        model = self.model
+
+        def step_fn(state, raw_batch):
+            images = raw_batch.astype(jnp.float32) / 255.0
+            x, y = augment_mod.to_feature_label(images, slice_types)
+            variables = {'params': state['params']}
+            if has_bn:
+                variables['batch_stats'] = state['batch_stats']
+            logits = model.apply(
+                variables, x, training=False, return_logits=True)
+            loss_vec = loss_obj.per_sample(y, logits)
+            probs = jax.nn.sigmoid(logits)
+            return loss_vec, probs, y
+
+        return jax.jit(
+            step_fn,
+            in_shardings=(self._rep, self._data_sh),
+            out_shardings=(self._data_sh, self._data_sh, self._data_sh),
+        )
+
+    def _eval_dataset(self, eval_step, dataset, metrics, extra_cb=None):
+        '''Run one pass over an EvalDataset; returns {loss, metric results}.'''
+        losses = []
+        for batch in dataset.batches():
+            raw = batch['slices']
+            n = raw.shape[0]
+            if n < dataset.batch_size:  # pad, then mask
+                pad = dataset.batch_size - n
+                raw = np.concatenate([raw, np.repeat(raw[-1:], pad, 0)], 0)
+            raw_dev, _ = mesh_lib.shard_batch(self.mesh, raw)
+            loss_vec, probs, y = eval_step(self.state, raw_dev)
+            losses.append(np.asarray(loss_vec)[:n])
+            y_host, p_host = y[:n], probs[:n]
+            for metric in metrics:
+                metric.update_state(y_host, p_host)
+            if extra_cb is not None:
+                extra_cb(batch, y_host, p_host)
+        results = {'loss': float(np.concatenate(losses).mean())
+                   if losses else float('nan')}
+        for metric in metrics:
+            value = metric.result()
+            results[metric.name] = (
+                float(value) if np.ndim(value) == 0 else np.asarray(value))
+        return results
+
+    def _build_metrics(self):
+        return [metrics_lib.solve_metric(s) for s in self.metric_specs]
+
+    # ------------------------------------------------------------------
+    def train(
+        self,
+        dataset,
+        val_data=None,
+        save_path=None,
+        save_freq=100,
+        max_steps=None,
+        early_stop_steps=None,
+        visualization=None,
+        auto_resume=True,
+        profile=False,
+        log_every=50,
+        steps_per_call=None,
+    ):
+        '''Train for ``max_steps`` steps (1 step == 1 reference "epoch").
+
+        ``steps_per_call`` > 1 runs that many optimizer steps per device
+        dispatch as a ``lax.scan`` loop (host-overhead amortization); logging
+        and checkpoint cadence are unaffected.
+        '''
+        assert max_steps is not None
+        self.build(dataset.feature_shape)
+        ckpt_dir = os.path.join(save_path, 'checkpoints') if save_path else None
+        if auto_resume and ckpt_dir:
+            self._auto_resume(ckpt_dir)
+        visualization = visualization or {}
+        spc = steps_per_call or self.steps_per_call
+
+        train_step = self._make_train_step(dataset)
+        multi_step = (self._make_train_step(dataset, multi_step=True)
+                      if spc > 1 else None)
+        eval_step = self._make_eval_step(dataset.slice_types)
+        train_metrics = self._build_metrics()
+
+        writer = None
+        viz_callbacks = []
+        if save_path:
+            tb_dir = os.path.join(save_path, 'tfevents')
+            writer = tboard.SummaryWriter(os.path.join(tb_dir, 'train'))
+            from .utils import viz as viz_lib
+            for tag, viz_ds in visualization.items():
+                viz_callbacks.append(viz_lib.Visualizer(
+                    tag, viz_ds, save_freq, tb_dir))
+
+        results = TrainResults(
+            self.model_name,
+            dict(save_freq=save_freq, max_steps=max_steps, seed=self.seed))
+        key = jax.random.PRNGKey(self.seed + 1)
+        batches = _Prefetcher(
+            dataset.raw_batches(seed=self.seed),
+            lambda raw: mesh_lib.shard_batch(self.mesh, raw)[0])
+        best_val = float('inf')
+        best_step = self.current_step
+        t_start = time.perf_counter()
+        n_done = 0
+
+        start_step = self.current_step
+        step = self.current_step
+        while step < max_steps:
+            if profile and step >= start_step + 200 and save_path and \
+                    not getattr(self, '_profiling', False):
+                jax.profiler.start_trace(
+                    os.path.join(save_path, 'tfevents', 'profile'))
+                self._profiling = True
+
+            boundary = min(max_steps, (step // save_freq + 1) * save_freq)
+            k = min(spc, boundary - step)
+            if k > 1:
+                stacked = jnp.stack([next(batches) for _ in range(k)])
+                self.state, losses, probs, y = multi_step(
+                    self.state, stacked, key)
+                losses = np.asarray(losses).tolist()
+            else:
+                self.state, loss, probs, y = train_step(
+                    self.state, next(batches), key)
+                losses = [float(loss)]
+
+            if profile and getattr(self, '_profiling', False) and \
+                    step >= start_step + 200 + 10:
+                jax.profiler.stop_trace()
+                self._profiling = False
+
+            for inner_loss in losses:
+                step += 1
+                n_done += 1
+                logs = {'loss': float(inner_loss),
+                        'lr': float(self.schedule(step - 1))}
+                # train metrics per step when stepping singly; at cadence
+                # points otherwise (probs/y are the scan's last inner step)
+                if spc == 1 or step == boundary:
+                    for metric in train_metrics:
+                        metric.reset_state()
+                        metric.update_state(y, probs)
+                        value = metric.result()
+                        if np.ndim(value) == 0:
+                            logs[metric.name] = float(value)
+
+                do_val = (step % save_freq == 0) or step == max_steps
+                if do_val and val_data is not None:
+                    val_metrics = self._build_metrics()
+                    val_results = self._eval_dataset(
+                        eval_step, val_data, val_metrics)
+                    logs.update({f'val_{k}': v
+                                 for k, v in val_results.items()
+                                 if np.ndim(v) == 0})
+                    if logs['val_loss'] < best_val:
+                        best_val = logs['val_loss']
+                        best_step = step
+
+                results.append(step, {k: v for k, v in logs.items()
+                                      if np.ndim(v) == 0})
+                if writer:
+                    for k_, v in logs.items():
+                        if np.ndim(v) == 0:
+                            writer.scalar(f'epoch_{k_}' if k_ in (
+                                'loss',) else k_, v, step)
+                if step % log_every == 0 or step == max_steps:
+                    rate = n_done / (time.perf_counter() - t_start)
+                    logger.info('step %d/%d loss=%.4f (%.2f steps/s)',
+                                step, max_steps, logs['loss'], rate)
+
+                if do_val and ckpt_dir:
+                    self.save_ckpt(ckpt_dir, step)
+                if do_val:
+                    for cb in viz_callbacks:
+                        cb.on_step(self, step)
+
+            if early_stop_steps is not None and val_data is not None:
+                if step - best_step >= early_stop_steps:
+                    logger.warning('Early stopping at step %d (best %d)',
+                                   step, best_step)
+                    break
+
+        self.current_step = step
+        if writer:
+            writer.close()
+        for cb in viz_callbacks:
+            cb.close()
+        return results
+
+    # ------------------------------------------------------------------
+    def eval(
+        self,
+        dataset,
+        save_path,
+        viz_ds=None,
+        tag='val',
+        avoid_overwrite=False,
+        export_path=None,
+        export_images=False,
+        visualize_sensitivity=False,
+        export_csv=False,
+        min_interval=1,
+        step_range=None,
+        overlay=False,
+        export_casewise_metrics=False,
+    ):
+        '''Evaluate every checkpoint under ``save_path`` (engine.py:139-210).'''
+        import pandas as pd
+
+        self.build(dataset.feature_shape)
+        ckpt_path = os.path.join(save_path, 'checkpoints')
+        if not export_path:
+            export_path = os.path.join(save_path, 'tfevents')
+        if os.path.exists(os.path.join(export_path, tag)):
+            if avoid_overwrite:
+                while os.path.exists(os.path.join(export_path, tag)):
+                    tag += '_'
+            else:
+                raise ValueError(f'tag: {tag} already exists.')
+
+        if step_range is None:
+            step_range = (0, float('inf'))
+        else:
+            assert len(step_range) == 2
+            assert 0 <= step_range[0] <= step_range[1]
+
+        eval_step = self._make_eval_step(dataset.slice_types)
+
+        viz_callback = None
+        casewise_container = [] if export_csv else None
+        if viz_ds is not None:
+            from .utils import viz as viz_lib
+            viz_callback = viz_lib.Visualizer(
+                tag, viz_ds, 1, save_dir=export_path,
+                export_images=export_images,
+                export_csv=export_csv,
+                visualize_sensitivity=visualize_sensitivity,
+                overlay=overlay,
+                export_casewise_metrics=True,
+                casewise_metrics_container=casewise_container,
+            )
+
+        result_rows = {}
+        previous_step = None
+        ckpts = [(s, p) for s, p in self.get_ckpts(ckpt_path).items()
+                 if step_range[0] <= s <= step_range[1]]
+        for ckpt_step, ckpt_dir in ckpts:
+            if previous_step is not None and \
+                    (ckpt_step - previous_step) < min_interval:
+                logger.warning('Ignored %s due to min_interval:%s.',
+                               ckpt_dir, min_interval)
+                continue
+            previous_step = ckpt_step
+            self.load(ckpt_dir)
+            metrics = self._build_metrics()
+            results = self._eval_dataset(eval_step, dataset, metrics)
+            results = {k: v for k, v in results.items() if np.ndim(v) == 0}
+            result_rows[ckpt_step] = results
+            logger.info('ckpt step %d: %s', ckpt_step, results)
+            if viz_callback is not None:
+                viz_callback.on_step(self, ckpt_step)
+
+        if export_csv:
+            os.makedirs(os.path.join(export_path, tag), exist_ok=True)
+            frame = pd.DataFrame.from_dict(result_rows, orient='index')
+            frame.index.rename('step', inplace=True)
+            frame.to_csv(os.path.join(export_path, tag, 'results.csv'))
+            pd.DataFrame(casewise_container or []).to_csv(
+                os.path.join(export_path, tag, 'casewise_results.csv'))
+        if viz_callback is not None:
+            viz_callback.close()
+        return result_rows
+
+    # ------------------------------------------------------------------
+    def predict(self, dataset):
+        '''Predict probabilities for every element of an EvalDataset.'''
+        self.build(dataset.feature_shape)
+        eval_step = self._make_eval_step(dataset.slice_types)
+        outputs = []
+        for batch in dataset.batches():
+            raw = batch['slices']
+            n = raw.shape[0]
+            if n < dataset.batch_size:
+                pad = dataset.batch_size - n
+                raw = np.concatenate([raw, np.repeat(raw[-1:], pad, 0)], 0)
+            raw_dev, _ = mesh_lib.shard_batch(self.mesh, raw)
+            _, probs, _ = eval_step(self.state, raw_dev)
+            outputs.append(np.asarray(probs)[:n])
+        return np.concatenate(outputs, 0) if outputs else np.zeros((0,))
+
+    def get_config(self):
+        return self.model_config
+
+
+# reference-name alias (engine.py:36)
+TFKerasModel = Engine

@@ -57,9 +57,10 @@ def solve_activation(identifier) -> Activation:
         if name not in table:
             raise ValueError(f'Failed to resolve activation: {identifier}')
         return table[name]
-    if isinstance(identifier, dict):
+    import collections.abc
+    if isinstance(identifier, collections.abc.Mapping):  # incl. FrozenDict
         class_name = identifier.get('class_name')
-        config = identifier.get('config', {}) or {}
+        config = dict(identifier.get('config', {}) or {})
         if class_name in ('LeakyReLU', 'leaky_relu'):
             alpha = config.get('alpha', config.get('negative_slope', 0.3))
             return lambda x: nn.leaky_relu(x, negative_slope=alpha)

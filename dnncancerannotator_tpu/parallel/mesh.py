@@ -1,0 +1,59 @@
+'''Device mesh and sharding helpers.
+
+The reference's only parallelism is single-host synchronous data parallelism
+via ``tf.distribute.MirroredStrategy`` + NCCL all-reduce (reference:
+annotator/engine.py:260-263, utils/nn.py:12-23). The TPU-native replacement is
+a ``jax.sharding.Mesh`` with the batch sharded over a ``data`` axis: gradient
+reduction becomes an XLA ``psum`` over ICI inserted automatically by GSPMD —
+no user-visible collectives, and the reference's manual per-replica batch
+splitting (``to_distributed``) disappears into sharding annotations.
+
+The mesh is built ``(data, model)`` so a tensor/model axis is available for
+future sharding without changing call sites; ``model=1`` by default.
+Multi-host use: call ``jax.distributed.initialize()`` before ``create_mesh``
+and the same code spans hosts (DP over DCN+ICI).
+'''
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(n_devices: Optional[int] = None, model_parallel: int = 1,
+                devices=None) -> Mesh:
+    '''Build a (data, model) mesh over the available devices.'''
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    assert n % model_parallel == 0, (n, model_parallel)
+    arr = np.array(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, ('data', 'model'))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    '''Shard the leading (batch) axis over the data axis.'''
+    return NamedSharding(mesh, P('data'))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    '''Place a host batch on the mesh, sharded along axis 0.
+
+    Pads the batch up to a multiple of the data-axis size if needed (the
+    reference gives the remainder to the last replica, utils/nn.py:17-19;
+    with GSPMD the batch must divide evenly, so we pad and let callers mask).
+    Returns (device_array, n_valid).
+    '''
+    n = batch.shape[0]
+    d = mesh.shape['data']
+    if n % d:
+        pad = d - n % d
+        batch = np.concatenate([batch, np.repeat(batch[-1:], pad, 0)], 0)
+    return jax.device_put(batch, batch_sharding(mesh)), n

@@ -1,0 +1,30 @@
+'''CLI dispatcher (parity with reference annotator/runs/__main__.py:21-28).
+
+Subcommands are generated from function docstrings:
+train / evaluate / predict / extract_all / generate_tfrecords.
+'''
+
+import argparse
+import logging
+
+from ..utils import dscli
+
+
+def main(prog='python3 -m dnncancerannotator_tpu', argv=None):
+    logging.basicConfig(level=logging.INFO)
+    from . import evaluate, predict, train
+    from . import extract
+    from ..data import generate_tfrecords
+
+    parser = argparse.ArgumentParser(prog=prog)
+    subparsers = parser.add_subparsers(help='command')
+    dscli.add_command(subparsers, train.train)
+    dscli.add_command(subparsers, evaluate.evaluate)
+    dscli.add_command(subparsers, predict.predict)
+    dscli.add_command(subparsers, extract.extract_all)
+    dscli.add_command(subparsers, generate_tfrecords)
+    return dscli.run(parser, argv)
+
+
+if __name__ == '__main__':
+    main()

@@ -25,6 +25,7 @@ def _parse_docstring(doc):
     args = {}
     in_args = False
     current = None
+    arg_indent = None  # indent level of arg-name lines (continuations deeper)
     for line in lines:
         stripped = line.strip()
         if stripped in ('Args:', 'Arguments:'):
@@ -35,9 +36,10 @@ def _parse_docstring(doc):
             current = None
             continue
         if in_args:
+            indent = len(line) - len(line.lstrip())
             m = _ARG_RE.match(stripped)
-            # continuation lines are indented deeper than the arg name line
-            if m and not line.startswith(' ' * 12):
+            if m and (arg_indent is None or indent <= arg_indent):
+                arg_indent = indent if arg_indent is None else arg_indent
                 current = m.group(1)
                 args[current] = (m.group(2), m.group(3))
             elif current is not None and stripped:
@@ -76,7 +78,10 @@ def _infer_type(type_str, default):
         if isinstance(default, float):
             return float, None, False
         if isinstance(default, (list, tuple)):
-            return str, '+', False
+            elem = type(default[0]) if len(default) else str
+            if elem not in (str, int, float):
+                elem = str
+            return elem, '+', False
     return str, None, False
 
 

@@ -1,0 +1,172 @@
+'''Data layer tests: TFRecord codec, exam ingestion, pipeline semantics,
+device-side augmentations.'''
+
+import os
+
+import numpy as np
+import pytest
+
+from dnncancerannotator_tpu.data import (
+    augment, eval_ds, generate_tfrecords, records, tfrecord as tfr, train_ds)
+from tests import util_synth
+
+
+def test_crc32c_vector():
+    assert tfr.crc32c(b'123456789') == 0xE3069283
+    assert tfr.crc32c(b'') == 0
+
+
+def test_example_roundtrip(tmp_path):
+    arr = np.arange(2 * 4 * 4 * 3, dtype=np.uint8).reshape(2, 4, 4, 3)
+    ex = tfr.encode_example({
+        'slices': tfr.serialize_tensor(arr),
+        'patientID': 42, 'examID': 7, 'path': b'/x', 'category': b'cancer',
+        'shape': list(arr.shape), 'slice_types': [b'TRA', b'ADC', b'label'],
+    })
+    p = tmp_path / 'x.tfrecords'
+    with open(p, 'wb') as f:
+        tfr.write_record(f, ex)
+    recs = list(tfr.read_records(p, verify_crc=True))
+    assert len(recs) == 1
+    d = tfr.decode_example(recs[0])
+    assert d['patientID'] == [42]
+    assert d['category'] == [b'cancer']
+    assert d['slice_types'] == [b'TRA', b'ADC', b'label']
+    out = tfr.parse_tensor(d['slices'][0])
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_index_records(tmp_path):
+    p = tmp_path / 'x.tfrecords'
+    payloads = [bytes([i]) * (10 + i) for i in range(5)]
+    with open(p, 'wb') as f:
+        for payload in payloads:
+            tfr.write_record(f, payload)
+    idx = tfr.index_records(p)
+    assert len(idx) == 5
+    for (off, length), payload in zip(idx, payloads):
+        assert tfr.read_record_at(p, off, length) == payload
+
+
+@pytest.fixture(scope='module')
+def dataset(tmp_path_factory):
+    tmpdir = tmp_path_factory.mktemp('synth')
+    cancer, healthy = util_synth.make_tfrecords(str(tmpdir), size=64)
+    return str(tmpdir), cancer, healthy
+
+
+def test_generate_and_read_tfrecords(dataset):
+    _, cancer, healthy = dataset
+    reader = records.TFRecordExamReader(cancer)
+    assert len(reader) == 2  # 2 cancer patients
+    exam = reader.exam(0)
+    assert exam['slices'].shape == (3, 64, 64, 6)
+    assert exam['category'] == 'cancer'
+    assert exam['slice_types'] == list(util_synth.SLICE_TYPES)
+    # label channel binary-ish
+    assert set(np.unique(exam['slices'][..., -1])) <= {0, 255}
+
+    healthy_reader = records.TFRecordExamReader(healthy)
+    hexam = healthy_reader.exam(0)
+    assert hexam['category'] == 'healthy'
+    assert np.all(hexam['slices'][..., -1] == 0)  # synthesized zero label
+
+
+def test_channel_subset(dataset):
+    _, cancer, _ = dataset
+    reader = records.TFRecordExamReader(
+        cancer, output_slice_types=('TRA', 'label'))
+    exam = reader.exam(0)
+    assert exam['slices'].shape[-1] == 2
+    assert exam['slice_types'] == ['TRA', 'label']
+    full = records.TFRecordExamReader(cancer).exam(0)
+    np.testing.assert_array_equal(exam['slices'][..., 0], full['slices'][..., 0])
+    np.testing.assert_array_equal(exam['slices'][..., 1], full['slices'][..., -1])
+
+
+def test_train_stream_balanced(dataset):
+    _, cancer, healthy = dataset
+    ds = train_ds([cancer, healthy], batch_size=4, buffer_size=8,
+                  output_size=(32, 32), base_size=64)
+    it = ds.raw_batches(seed=0)
+    batch = next(it)
+    # host pre-crop: random_crop(32) with +-6 jitter only reads a centered
+    # 44x44 window, so that's all that ships to the device
+    assert batch.shape == ds.element_shape == (4, 44, 44, 6)
+    assert batch.dtype == np.uint8
+    assert batch.flags['C_CONTIGUOUS']
+    # infinite when normalize_exams
+    for _ in range(5):
+        next(it)
+
+
+def test_eval_ds_meta(dataset):
+    _, cancer, healthy = dataset
+    ds = eval_ds([cancer, healthy], batch_size=5, include_meta=True,
+                 output_size=(64, 64))
+    batches = list(ds.batches())
+    total = sum(b['slices'].shape[0] for b in batches)
+    assert total == 12  # 4 exams x 3 slices
+    meta = batches[0]['meta'][0]
+    assert set(meta) >= {'patientID', 'examID', 'path', 'category', 'sliceID'}
+    assert meta['sliceID'] == 0
+
+
+def test_dir_tree_branch(dataset):
+    tmpdir, _, _ = dataset
+    tree = os.path.join(tmpdir, 'tree')
+    ds = eval_ds([tree], batch_size=4, output_size=(48, 48))
+    batches = list(ds.batches())
+    assert sum(b['slices'].shape[0] for b in batches) == 12
+    assert batches[0]['slices'].shape[1:] == (48, 48, 6)
+
+
+def test_augment_chain_shapes():
+    import jax
+    methods = augment.parse_augment_options(
+        {'random_crop': None, 'random_flip': None, 'random_contrast': None,
+         'random_warp': {'n_points': 10}},
+        util_synth.SLICE_TYPES, output_size=(32, 32))
+    fn = jax.jit(augment.build_augment_fn(methods))
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 48, 48, 6))
+    out = fn(x, jax.random.PRNGKey(1))
+    assert out.shape == (2, 32, 32, 6)
+    feats, label = augment.to_feature_label(out, util_synth.SLICE_TYPES)
+    assert feats.shape == (2, 32, 32, 5)
+    assert label.shape == (2, 32, 32)
+
+
+def test_contrast_preserves_label():
+    import jax
+    import jax.numpy as jnp
+    methods = augment.parse_augment_options(
+        {'random_contrast': None}, ('TRA', 'label'), output_size=(16, 16))
+    fn = augment.build_augment_fn(methods)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 16, 2))
+    out = fn(x, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(out[..., 1], x[..., 1])  # label untouched
+    assert not np.allclose(out[..., 0], x[..., 0])
+
+
+def test_warp_identity_when_no_diff():
+    import jax.numpy as jnp
+    from dnncancerannotator_tpu.ops.warp import sparse_image_warp
+    img = np.random.default_rng(0).random((1, 24, 24, 2)).astype(np.float32)
+    pts = np.random.default_rng(1).uniform(0, 24, (1, 8, 2)).astype(np.float32)
+    out = sparse_image_warp(jnp.asarray(img), jnp.asarray(pts), jnp.asarray(pts))
+    np.testing.assert_allclose(np.asarray(out), img, atol=1e-4)
+
+
+def test_warp_constant_shift():
+    '''A uniform +2px control displacement must shift image content.'''
+    import jax.numpy as jnp
+    from dnncancerannotator_tpu.ops.warp import sparse_image_warp
+    img = np.zeros((1, 32, 32, 1), np.float32)
+    img[0, 10:14, 10:14, 0] = 1.0
+    gy, gx = np.mgrid[4:32:8, 4:32:8]
+    src = np.stack([gy.ravel(), gx.ravel()], -1)[None].astype(np.float32)
+    dst = src + np.array([2.0, 0.0], np.float32)
+    out = np.asarray(sparse_image_warp(
+        jnp.asarray(img), jnp.asarray(src), jnp.asarray(dst)))
+    # content moves +2 rows: out[y] ~ img[y-2]
+    np.testing.assert_allclose(out[0, 12:16, 10:14, 0], 1.0, atol=0.15)

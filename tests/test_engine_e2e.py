@@ -1,0 +1,124 @@
+'''End-to-end: train -> auto-resume -> evaluate-every-checkpoint -> predict,
+through the run drivers on a synthetic TFRecord dataset.'''
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+import yaml
+
+from tests import util_synth
+
+TINY_CONFIG = {
+    'model': 'UNetAnnotator',
+    'model_options': {
+        'n_filters_first': 2, 'n_downsample': 2, 'rate': 2, 'kernel_size': 3,
+        'conv_stride': 1, 'bn': False, 'padding': 'same',
+    },
+    'deploy_options': {
+        'optimizer': 'adam',
+        'LearningRateScheduler':
+            'lambda epoch, current_lr: 0.001 * 0.96 ** (epoch // 1000)',
+        'loss': {'class_name': 'WeightedCrossentropy',
+                 'config': {'weight_mul': 3.0}},
+        'enable_multigpu': True,  # exercises the 8-device CPU mesh
+        'metrics': [
+            {'Precision': {'thresholds': 0.8, 'name': 'pixel/precision'}},
+            {'Recall': {'thresholds': 0.8, 'name': 'pixel/recall'}},
+        ],
+    },
+    'data_options': {
+        'train': {
+            'batch_size': 8, 'buffer_size': 32, 'normalize_exams': True,
+            'output_size': [32, 32],
+            'slice_types': ['TRA', 'ADC', 'DWI', 'DCEE', 'DCEL', 'label'],
+            'augment_options': {'random_crop': None, 'random_flip': None},
+            'base_size': 64,
+        },
+        'eval': {
+            'batch_size': 8, 'output_size': [32, 32],
+            'slice_types': ['TRA', 'ADC', 'DWI', 'DCEE', 'DCEL', 'label'],
+        },
+    },
+}
+
+
+@pytest.fixture(scope='module')
+def env(tmp_path_factory):
+    tmpdir = tmp_path_factory.mktemp('e2e')
+    cancer, healthy = util_synth.make_tfrecords(str(tmpdir), size=64)
+    config_path = str(tmpdir / 'config.yaml')
+    with open(config_path, 'w') as f:
+        yaml.safe_dump(TINY_CONFIG, f)
+    return dict(tmpdir=str(tmpdir), data=[cancer, healthy],
+                config=config_path)
+
+
+def test_train_resume_evaluate_predict(env):
+    from dnncancerannotator_tpu.runs.train import train
+    from dnncancerannotator_tpu.runs.evaluate import evaluate
+    from dnncancerannotator_tpu.runs.predict import predict
+
+    save_path = os.path.join(env['tmpdir'], 'run')
+
+    # ---- train 4 steps, checkpoint every 2
+    results = train(
+        config=[env['config']], save_path=save_path, data_path=env['data'],
+        max_steps=4, save_freq=2, validate=True, val_data_path=env['data'])
+    assert results.epoch == [1, 2, 3, 4]
+    assert 'loss' in results.history
+    assert 'val_loss' in results.history
+    ckpts = sorted(os.listdir(os.path.join(save_path, 'checkpoints')))
+    assert ckpts == ['ckpt-2', 'ckpt-4']
+    assert os.path.exists(os.path.join(save_path, 'options.yaml'))
+    with open(os.path.join(save_path, 'results.pkl'), 'rb') as f:
+        dumped = pickle.load(f)
+    assert dumped['model'] == 'UNetAnnotator'
+
+    # ---- resume: train to 6 continues from step 4
+    results2 = train(
+        config=[env['config']], save_path=save_path, data_path=env['data'],
+        max_steps=6, save_freq=2, validate=False)
+    assert results2.epoch == [5, 6]
+    ckpts = sorted(os.listdir(os.path.join(save_path, 'checkpoints')))
+    assert 'ckpt-6' in ckpts
+    # second options.yaml dump collision-renamed
+    assert os.path.exists(os.path.join(save_path, 'options_.yaml'))
+
+    # ---- evaluate all checkpoints with CSV + image export
+    evaluate(
+        save_path=save_path, data_path=env['data'], tag='testtag',
+        export_csv=True, export_images=True, export_casewise_metrics=True)
+    import pandas as pd
+    out_dir = os.path.join(save_path, 'tfevents', 'testtag')
+    frame = pd.read_csv(os.path.join(out_dir, 'results.csv'))
+    assert list(frame['step']) == [2, 4, 6]
+    assert 'loss' in frame.columns
+    assert 'pixel/precision' in frame.columns
+    casewise = pd.read_csv(os.path.join(out_dir, 'casewise_results.csv'))
+    assert len(casewise) == 12 * 3  # every slice x every checkpoint
+    # image export tree exists
+    images_root = os.path.join(out_dir, 'images')
+    pngs = [p for _, _, files in os.walk(images_root) for p in files]
+    assert len(pngs) == 12 * 3
+    # tfevents written
+    events = [f for f in os.listdir(out_dir) if f.startswith('events')]
+    assert events
+
+    # ---- evaluate again without avoid_overwrite -> error
+    with pytest.raises(ValueError):
+        evaluate(save_path=save_path, data_path=env['data'], tag='testtag',
+                 skip_visualization=True)
+    # with avoid_overwrite -> tag renamed, min_interval filters ckpt-4
+    rows = evaluate(save_path=save_path, data_path=env['data'], tag='testtag',
+                    avoid_overwrite=True, skip_visualization=True,
+                    min_interval=4)
+    assert sorted(rows) == [2, 6]
+
+    # ---- predict with latest checkpoint
+    n = predict(save_path=save_path, data_path=env['data'],
+                output_path=os.path.join(env['tmpdir'], 'preds'))
+    assert n == 12
+
+

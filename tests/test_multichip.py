@@ -1,0 +1,88 @@
+'''Multi-device sharding tests on a virtual 8-device CPU mesh.
+
+Run in subprocesses because the TPU PJRT plugin is registered at interpreter
+startup and cannot be undone in-process.
+'''
+
+import os
+import subprocess
+import sys
+
+from tests.conftest import scrubbed_cpu_env
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, timeout=560):
+    return subprocess.run(
+        [sys.executable, *args], env=scrubbed_cpu_env(), capture_output=True,
+        text=True, timeout=timeout, cwd=REPO)
+
+
+def test_dryrun_multichip_8():
+    out = _run(['__graft_entry__.py', '8'])
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert 'dryrun_multichip(8): OK' in out.stdout, out.stdout
+
+
+def test_entry_compiles():
+    out = _run(['__graft_entry__.py'])
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert 'entry(): OK' in out.stdout, out.stdout
+
+
+GRAD_SYNC_SCRIPT = r'''
+import jax, numpy as np, yaml
+assert len(jax.devices()) == 8, jax.devices()
+from dnncancerannotator_tpu import engine as engine_lib
+from dnncancerannotator_tpu.parallel import mesh as mesh_lib
+
+CONFIG = {
+    'model': 'UNetAnnotator',
+    'model_options': dict(n_filters_first=2, n_downsample=2, rate=2,
+                          kernel_size=3, conv_stride=1, bn=False,
+                          padding='same'),
+    'deploy_options': {
+        'optimizer': 'adam',
+        'loss': {'class_name': 'WeightedCrossentropy',
+                 'config': {'weight_mul': 3.0}},
+        'enable_multigpu': True,
+    },
+}
+
+class DS:
+    slice_types = ('TRA', 'ADC', 'label')
+    augment_methods = [('random_crop', dict(output_size=(16, 16))),
+                       ('random_flip', {})]
+    feature_shape = (8, 16, 16, 2)
+
+rng = np.random.default_rng(0)
+raws = [rng.integers(0, 255, (8, 24, 24, 3), np.uint8) for _ in range(3)]
+
+results = {}
+for multigpu in (True, False):
+    cfg = yaml.safe_load(yaml.safe_dump(CONFIG))
+    cfg['deploy_options']['enable_multigpu'] = multigpu
+    eng = engine_lib.Engine(cfg, seed=7)
+    eng.build(DS.feature_shape)
+    assert eng.mesh.shape['data'] == (8 if multigpu else 1)
+    step = eng._make_train_step(DS())
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for raw in raws:
+        raw_dev, _ = mesh_lib.shard_batch(eng.mesh, raw)
+        eng.state, loss, _, _ = step(eng.state, raw_dev, key)
+        losses.append(float(loss))
+    results[multigpu] = (losses, np.asarray(jax.tree.leaves(eng.state['params'])[0]))
+
+np.testing.assert_allclose(results[True][0], results[False][0], rtol=2e-4)
+np.testing.assert_allclose(results[True][1], results[False][1], atol=2e-5)
+print('GRAD_SYNC_OK', results[True][0])
+'''
+
+
+def test_grad_sync_8_devices_vs_1():
+    '''Sharded-over-8 training must match single-device math (GSPMD psum).'''
+    out = _run(['-c', GRAD_SYNC_SCRIPT])
+    assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-2000:])
+    assert 'GRAD_SYNC_OK' in out.stdout

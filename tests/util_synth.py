@@ -1,0 +1,63 @@
+'''Synthetic dataset builders for tests: tiny exam trees with circle lesions.'''
+
+import os
+
+import numpy as np
+
+SLICE_TYPES = ('TRA', 'ADC', 'DWI', 'DCEE', 'DCEL', 'label')
+
+
+def _circle(size, cy, cx, r):
+    yy, xx = np.mgrid[:size, :size]
+    return ((yy - cy) ** 2 + (xx - cx) ** 2) < r ** 2
+
+
+def make_exam_tree(root, n_patients=2, n_slices=3, size=64,
+                   slice_types=SLICE_TYPES, categories=('cancer', 'healthy'),
+                   seed=0):
+    '''Write a synthetic PNG exam tree; returns the root.'''
+    from PIL import Image
+    rng = np.random.default_rng(seed)
+    for category in categories:
+        for pid in range(1, n_patients + 1):
+            eid = 1
+            exam_dir = os.path.join(root, category, str(pid), str(eid))
+            for t in slice_types:
+                if t == 'label' and category == 'healthy':
+                    continue
+                os.makedirs(os.path.join(exam_dir, t), exist_ok=True)
+            for s in range(1, n_slices + 1):
+                cy, cx = rng.integers(16, size - 16, 2)
+                r = rng.integers(5, 10)
+                for t in slice_types:
+                    if t == 'label':
+                        if category == 'healthy':
+                            continue
+                        img = _circle(size, cy, cx, r).astype(np.uint8) * 255
+                    else:
+                        img = rng.integers(0, 255, (size, size), np.uint8)
+                        if category == 'cancer':
+                            img[_circle(size, cy, cx, r)] = 220
+                    Image.fromarray(img, mode='L').save(
+                        os.path.join(root, category, str(pid), str(eid), t,
+                                     f'{s:02d}.png'))
+    return root
+
+
+def make_tfrecords(tmpdir, size=64, n_patients=2, n_slices=3,
+                   slice_types=SLICE_TYPES, seed=0):
+    '''Build a PNG tree and pack it into cancer/healthy tfrecords files.
+
+    Returns (cancer_path, healthy_path).
+    '''
+    from dnncancerannotator_tpu.data import generate_tfrecords
+    tree = os.path.join(tmpdir, 'tree')
+    make_exam_tree(tree, n_patients=n_patients, n_slices=n_slices, size=size,
+                   slice_types=slice_types, seed=seed)
+    cancer = os.path.join(tmpdir, 'cancer.tfrecords')
+    healthy = os.path.join(tmpdir, 'healthy.tfrecords')
+    generate_tfrecords(tree, cancer, category='cancer',
+                       slice_types=slice_types, output_size=(size, size))
+    generate_tfrecords(tree, healthy, category='healthy',
+                       slice_types=slice_types, output_size=(size, size))
+    return cancer, healthy
