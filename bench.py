@@ -25,7 +25,7 @@ CROP = 256
 BASE = 512
 CHANNELS = 6  # 5 sequences + label
 WARMUP = 10
-STEPS = 50
+STEPS = 400
 BASELINE_CACHE = os.path.join(REPO, 'bench_baseline.json')
 
 CONFIG = {
@@ -72,40 +72,38 @@ def _synth_data(tmpdir):
 
 
 def measure_tpu():
-    import jax
+    '''Time the real user path: ``Engine.train`` with the device-resident
+    input pipeline and a 10-step lax.scan device loop. Each chunk syncs via
+    host readback of its losses, so the timing is honest end-to-end.'''
     from dnncancerannotator_tpu import engine as engine_lib
     from dnncancerannotator_tpu import data as data_lib
-    from dnncancerannotator_tpu.parallel import mesh as mesh_lib
 
     tmpdir = os.environ.get('BENCH_TMPDIR', '/tmp/dnnca_bench')
     os.makedirs(tmpdir, exist_ok=True)
     paths = _synth_data(tmpdir)
-    import jax.numpy as jnp
+    config = dict(CONFIG)
+    config['deploy_options'] = dict(CONFIG['deploy_options'],
+                                    steps_per_call=10)
     ds = data_lib.train_ds(paths, **TRAIN_OPTS)
-    eng = engine_lib.Engine(CONFIG)
-    eng.build(ds.feature_shape)
-    step = eng._make_train_step(ds, multi_step=True)
-    key = jax.random.PRNGKey(0)
-    spc = 10  # inner lax.scan steps per dispatch
+    eng = engine_lib.Engine(config)
 
-    # realistic end-to-end path: background host pipeline + device loop
-    batches = engine_lib._Prefetcher(
-        ds.raw_batches(seed=0),
-        lambda raw: mesh_lib.shard_batch(eng.mesh, raw)[0], depth=2 * spc)
+    eng.train(ds, max_steps=WARMUP, save_freq=1 << 30, auto_resume=False,
+              log_every=1 << 30)  # compile + warmup
 
-    def run(n_calls):
-        for _ in range(n_calls):
-            stacked = jnp.stack([next(batches) for _ in range(spc)])
-            out = step(eng.state, stacked, key)
-            eng.state, losses = out[0], out[1]
-        jax.block_until_ready(eng.state)
-        return losses
-
-    run(max(WARMUP // spc, 1))
+    # differential timing: two train() calls differing only in step count —
+    # the per-call fixed setup (dataset load, device_put) cancels exactly
+    short, long = STEPS // 4, STEPS
     t0 = time.perf_counter()
-    losses = run(STEPS // spc)
-    elapsed = time.perf_counter() - t0
-    return (STEPS // spc) * spc * BATCH / elapsed, float(losses[-1])
+    eng.train(ds, max_steps=WARMUP + short, save_freq=1 << 30,
+              auto_resume=False, log_every=1 << 30)
+    t_short = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    results = eng.train(ds, max_steps=WARMUP + short + long,
+                        save_freq=1 << 30, auto_resume=False,
+                        log_every=1 << 30)
+    t_long = time.perf_counter() - t0
+    elapsed = max(t_long - t_short, 1e-6)
+    return (long - short) * BATCH / elapsed, results.history['loss'][-1]
 
 
 def measure_tf_cpu_baseline():

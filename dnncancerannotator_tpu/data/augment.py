@@ -26,6 +26,7 @@ import functools
 from typing import Any, Dict, Sequence
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..ops import image as image_ops
@@ -41,6 +42,39 @@ def random_crop(image, key, output_size=(512, 512), stddev=4, max_=6, min_=-6):
     off = jnp.array([(h - th) // 2, (w - tw) // 2], jnp.int32) + diff
     off = jnp.clip(off, 0, jnp.array([h - th, w - tw], jnp.int32))
     return image_ops.crop_to_bounding_box(image, off[0], off[1], th, tw)
+
+
+def random_crop_batch(images, key, output_size=(512, 512), stddev=4, max_=6,
+                      min_=-6):
+    '''Batched jittered center crop via one-hot selector matmuls.
+
+    vmapping ``dynamic_slice`` over per-image offsets lowers to an XLA gather
+    (slow on TPU); expressing the row/column selection as two small one-hot
+    matmuls keeps the crop on the MXU. Identical sampling semantics to
+    ``random_crop`` (truncated-normal integer jitter, reference
+    data.py:677-689).
+    '''
+    b, h, w, c = images.shape
+    th, tw = output_size
+    diff = jnp.clip(
+        (jax.random.normal(key, [b, 2]) * stddev).astype(jnp.int32),
+        min_, max_)
+    base = jnp.array([(h - th) // 2, (w - tw) // 2], jnp.int32)
+    off = jnp.clip(base[None, :] + diff, 0,
+                   jnp.array([h - th, w - tw], jnp.int32))
+
+    # few possible offsets (the host pre-crops to out + 2*max_): select among
+    # static slices — exact, vectorized, no gathers
+    ny, nx = h - th + 1, w - tw + 1
+    out_y = jnp.zeros((b, th, w, c), images.dtype)
+    for d in range(ny):
+        sel = (off[:, 0] == d)[:, None, None, None]
+        out_y = jnp.where(sel, images[:, d:d + th], out_y)
+    out = jnp.zeros((b, th, tw, c), images.dtype)
+    for d in range(nx):
+        sel = (off[:, 1] == d)[:, None, None, None]
+        out = jnp.where(sel, out_y[:, :, d:d + tw], out)
+    return out
 
 
 def random_flip(image, key):
@@ -61,17 +95,21 @@ def _warp_points(key, n_images, n_points, size, stddev, max_diff):
 
 
 def random_warp_batch(images, key, n_points=100, max_diff=5, stddev=2.0,
-                      process_in_batch=None):
+                      process_in_batch=None, method='two_pass'):
     '''Warp a batch [B, H, W, C]; each image gets its own control points.
 
     ``process_in_batch`` is accepted for config parity (the reference uses it
     to batch host-side work, data.py:628-644); on TPU the whole batch is
-    always processed at once.
+    always processed at once. The default 'two_pass' resample avoids TPU
+    gathers (see ops.warp.dense_image_warp_twopass); pass method='exact' for
+    gather-based TFA semantics.
     '''
     del process_in_batch
     b, h, w, _ = images.shape
     src, dst = _warp_points(key, b, n_points, w, stddev, max_diff)
-    return warp_ops.sparse_image_warp(images, src, dst)
+    return warp_ops.sparse_image_warp(
+        images, src, dst, method=method,
+        max_displacement=int(np.ceil(max_diff)) + 3, clamp_flow=True)
 
 
 def random_intrachannelwarp_batch(images, key, n_points=100, max_diff=5,
@@ -96,12 +134,12 @@ def random_intrachannelwarp_batch(images, key, n_points=100, max_diff=5,
 
 # per-element ops get vmapped over the batch; batch ops run as-is
 _PER_ELEMENT = {
-    'random_crop': random_crop,
     'random_flip': random_flip,
     'random_contrast': random_contrast,
     'random_hue': None,  # greyscale data; accepted but rejected at parse time
 }
 _BATCH = {
+    'random_crop': random_crop_batch,
     'random_warp': random_warp_batch,
     'random_intrachannelwarp': random_intrachannelwarp_batch,
 }

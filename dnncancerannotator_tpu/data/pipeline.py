@@ -149,7 +149,7 @@ class TrainDataset:
     def __init__(self, path, batch_size, buffer_size, repeat=True,
                  slice_types=DEFAULT_SLICE_TYPES, normalize_exams=True,
                  output_size=(256, 256), augment_options=None, base_size=512,
-                 seed=0):
+                 seed=0, device_cache=True):
         self.slice_types = tuple(slice_types)
         self.batch_size = batch_size
         self.buffer_size = buffer_size
@@ -158,6 +158,7 @@ class TrainDataset:
         self.output_size = tuple(output_size)
         self.base_size = (base_size, base_size)
         self.seed = seed
+        self.device_cache = device_cache
         self.paths = path
         self.augment_methods = augment_mod.parse_augment_options(
             augment_options, self.slice_types, self.output_size)
@@ -186,6 +187,47 @@ class TrainDataset:
             n == 'random_crop' for n, _ in self.augment_methods) \
             else self.base_size
         return (self.batch_size, *out, self.n_channels - 1)
+
+    def load_resident(self, budget_bytes=8 << 30):
+        '''Materialize the whole training set as host arrays for the
+        device-resident input path.
+
+        TPU-native steady state: the uint8 slice tensor lives in HBM and each
+        train step *gathers* its batch with on-device random indices — zero
+        host work per step (the host streaming path remains for datasets
+        over ``budget_bytes``).
+
+        Returns None if the dataset exceeds the budget, else a dict with
+        ``data`` [N, h, w, C] uint8, and per-source ``starts``/``counts``
+        (equal-probability sampling across sources reproduces
+        ``normalize_exams`` semantics, reference data.py:515-525).
+        '''
+        if not self.device_cache:
+            return None
+        sources = _sources(self.paths, self.slice_types)
+        chunks = []
+        starts, counts = [], []
+        total = 0
+        n = 0
+        for source in sources:
+            starts.append(n)
+            count = 0
+            for exam in source.iter_exams():
+                for img, _meta in _exam_elements(exam, self.host_crop):
+                    total += img.nbytes
+                    if total > budget_bytes:
+                        return None
+                    chunks.append(img)
+                    count += 1
+                    n += 1
+            counts.append(count)
+        if not chunks:
+            return None
+        data = np.ascontiguousarray(np.stack(chunks))
+        return dict(data=data,
+                    starts=np.asarray(starts, np.int32),
+                    counts=np.asarray(counts, np.int32),
+                    balanced=self.normalize_exams)
 
     def raw_batches(self, seed=None) -> Iterator[np.ndarray]:
         '''Infinite (if repeat) stream of raw uint8 batches.'''

@@ -280,6 +280,9 @@ class Engine:
             probs = jax.nn.sigmoid(jnp.squeeze(logits, -1))
             return new_state, loss, probs, y
 
+        if multi_step == 'one_step':
+            return one_step  # unjitted body, for composition
+
         if not multi_step:
             return jax.jit(
                 one_step,
@@ -302,6 +305,50 @@ class Engine:
         return jax.jit(
             scan_fn,
             in_shardings=(self._rep, batch_sh, self._rep),
+            out_shardings=(self._rep, self._rep, self._data_sh,
+                           self._data_sh),
+            donate_argnums=(0,),
+        )
+
+    def _make_resident_train_step(self, dataset, n_sources, balanced, k):
+        '''Fully device-resident train step: the uint8 dataset tensor lives in
+        HBM and each of the ``k`` scanned inner steps gathers its batch with
+        on-device random indices — zero host work per step. Equal-probability
+        sampling across sources reproduces ``normalize_exams``
+        (reference data.py:515-525); the shuffle buffer becomes true uniform
+        sampling.'''
+        one_step = self._make_train_step(dataset, multi_step='one_step')
+        batch = dataset.batch_size
+
+        def sample(data, starts, counts, skey):
+            if balanced and n_sources > 1:
+                kf, ks = jax.random.split(skey)
+                f = jax.random.randint(kf, [batch], 0, n_sources)
+                u = jax.random.uniform(ks, [batch])
+                idx = starts[f] + jnp.minimum(
+                    (u * counts[f]).astype(jnp.int32), counts[f] - 1)
+            else:
+                idx = jax.random.randint(
+                    skey, [batch], 0, data.shape[0])
+            return data[idx]
+
+        def fn(state, data, starts, counts, key):
+            sample_key = jax.random.fold_in(key, 0x5a5a5a5)
+
+            def body(carry, _):
+                skey = jax.random.fold_in(sample_key, carry['step'])
+                raw = sample(data, starts, counts, skey)
+                new_state, loss, probs, y = one_step(carry, raw, key)
+                return new_state, (loss, probs, y)
+
+            state, (losses, probs, y) = jax.lax.scan(
+                body, state, None, length=k)
+            return state, losses, probs[-1], y[-1]
+
+        return jax.jit(
+            fn,
+            in_shardings=(self._rep, self._rep, self._rep, self._rep,
+                          self._rep),
             out_shardings=(self._rep, self._rep, self._data_sh,
                            self._data_sh),
             donate_argnums=(0,),
@@ -407,9 +454,34 @@ class Engine:
             self.model_name,
             dict(save_freq=save_freq, max_steps=max_steps, seed=self.seed))
         key = jax.random.PRNGKey(self.seed + 1)
-        batches = _Prefetcher(
-            dataset.raw_batches(seed=self.seed),
-            lambda raw: mesh_lib.shard_batch(self.mesh, raw)[0])
+
+        # device-resident input path: dataset tensor in HBM, batches gathered
+        # on device (falls back to host streaming when over budget)
+        resident = None
+        if hasattr(dataset, 'load_resident'):
+            resident = dataset.load_resident()
+        if resident is not None:
+            data_dev = jax.device_put(resident['data'], self._rep)
+            starts_dev = jax.device_put(resident['starts'], self._rep)
+            counts_dev = jax.device_put(resident['counts'], self._rep)
+            n_sources = len(resident['starts'])
+            balanced = resident['balanced']
+            resident_steps = {}
+
+            def resident_step(k):
+                if k not in resident_steps:
+                    resident_steps[k] = self._make_resident_train_step(
+                        dataset, n_sources, balanced, k)
+                return resident_steps[k]
+
+            batches = None
+            logger.info(
+                'Device-resident input: %d slices (%.1f MB) in HBM',
+                resident['data'].shape[0], resident['data'].nbytes / 1e6)
+        else:
+            batches = _Prefetcher(
+                dataset.raw_batches(seed=self.seed),
+                lambda raw: mesh_lib.shard_batch(self.mesh, raw)[0])
         best_val = float('inf')
         best_step = self.current_step
         t_start = time.perf_counter()
@@ -426,7 +498,11 @@ class Engine:
 
             boundary = min(max_steps, (step // save_freq + 1) * save_freq)
             k = min(spc, boundary - step)
-            if k > 1:
+            if resident is not None:
+                self.state, losses, probs, y = resident_step(k)(
+                    self.state, data_dev, starts_dev, counts_dev, key)
+                losses = np.asarray(losses).tolist()
+            elif k > 1:
                 stacked = jnp.stack([next(batches) for _ in range(k)])
                 self.state, losses, probs, y = multi_step(
                     self.state, stacked, key)

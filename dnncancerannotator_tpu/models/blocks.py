@@ -25,6 +25,8 @@ from typing import Any, Callable, Optional, Sequence, Union
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .fastconv import Conv2DFast, ConvTranspose2DFast
+
 
 Activation = Callable[[jnp.ndarray], jnp.ndarray]
 
@@ -110,7 +112,7 @@ class ConvChain(nn.Module):
     def __call__(self, x, training: bool = False):
         act = solve_activation(self.activation)
         for i in range(self.n_conv):
-            x = nn.Conv(
+            x = Conv2DFast(
                 features=self.filters,
                 kernel_size=(self.kernel_size, self.kernel_size),
                 strides=(self.conv_stride, self.conv_stride),
@@ -174,7 +176,7 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x, reference, training: bool = False):
-        up = nn.ConvTranspose(
+        up = ConvTranspose2DFast(
             features=self.filters,
             kernel_size=(self.rate, self.rate),
             strides=(self.rate, self.rate),

@@ -115,7 +115,7 @@ class UNetAnnotator(nn.Module):
     @nn.compact
     def __call__(self, x, training: bool = False, return_logits: bool = False):
         x = self._body()(x, training=training)
-        logits = nn.Conv(
+        logits = blocks.Conv2DFast(
             features=1, kernel_size=(1, 1),
             padding=blocks._canon_padding(self.padding), dtype=self.dtype,
             name='last_conv',

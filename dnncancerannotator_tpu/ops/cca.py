@@ -27,6 +27,23 @@ def _neighbor_min(labels, sentinel):
     return jnp.minimum(jnp.minimum(jnp.minimum(up, down), jnp.minimum(left, right)), labels)
 
 
+def _run_min(labels, mask, axis, sentinel):
+    '''Segmented min along ``axis``: every pixel takes the min label of its
+    contiguous True-run (both directions), via an O(log n) associative scan.
+    One sweep spreads labels across entire straight runs — far fewer
+    iterations than 1-pixel stencil propagation (turn count of the component
+    geometry instead of its diameter).'''
+    def combine(a, b):
+        am, ar = a
+        bm, br = b
+        return jnp.where(br, bm, jnp.minimum(am, bm)), ar | br
+
+    init = (labels, ~mask)
+    fwd, _ = lax.associative_scan(combine, init, axis=axis)
+    bwd, _ = lax.associative_scan(combine, init, axis=axis, reverse=True)
+    return jnp.where(mask, jnp.minimum(fwd, bwd), sentinel)
+
+
 def connected_components(mask):
     '''Label 4-connected regions of a boolean mask.
 
@@ -52,8 +69,8 @@ def connected_components(mask):
 
     def body(state):
         labels, _ = state
-        new = _neighbor_min(labels, sentinel)
-        new = jnp.where(mask, new, sentinel)
+        new = _run_min(labels, mask, 1, sentinel)   # spread along rows
+        new = _run_min(new, mask, 0, sentinel)      # spread along columns
         new = pointer_jump(new)
         new = pointer_jump(new)
         changed = jnp.any(new != labels)

@@ -87,15 +87,79 @@ def dense_image_warp(image, flow):
     return jax.vmap(warp_one)(image, flow)
 
 
-@functools.partial(jax.jit, static_argnames=('regularization',))
+def dense_image_warp_twopass(image, flow, max_displacement=8):
+    '''Bilinear resample via two axis-separated shift-select passes.
+
+    XLA gathers are slow on TPU (~13ms for [8,256,256,6]); for the bounded,
+    smooth flows of warp *augmentation* the resample can instead be built
+    from static shifted slices blended with per-pixel masks — pure VPU work.
+
+    The vertical pass resamples rows exactly at ``qy``; the horizontal pass
+    then resamples the result at ``qx``, which evaluates ``qy`` at the
+    source column instead of the target column. For spline flows (hundreds of
+    control points over a 256px image, |flow| <= max_diff) that composition
+    error is O(|d flow_y/dx| * |flow_x|) ~ well under a pixel — negligible
+    against the randomness of the augmentation itself. Use
+    ``dense_image_warp`` when exact gather semantics are required.
+
+    Flow is clamped to ±max_displacement (static) to bound the shift range.
+    '''
+    b, h, w, c = image.shape
+    d = int(max_displacement)
+    flow = jnp.clip(flow, -d, d)
+    gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+
+    def pass_axis(img, q, axis):
+        n = img.shape[axis + 1]  # spatial size along axis (after batch)
+        base = gy if axis == 0 else gx
+        q0 = jnp.floor(q)
+        r = (q - q0)[..., None]                     # [B,h,w,1]
+        shift = (q0 - base).astype(jnp.int32)       # in [-d-1, d]
+        pad = d + 2
+        pad_cfg = [(0, 0), (0, 0), (0, 0), (0, 0)]
+        pad_cfg[axis + 1] = (pad, pad)
+        padded = jnp.pad(img, pad_cfg, mode='edge')
+        out = jnp.zeros_like(img)
+        for s in range(-d - 1, d + 1):
+            if axis == 0:
+                lo = padded[:, pad + s:pad + s + h, :, :]
+                hi = padded[:, pad + s + 1:pad + s + 1 + h, :, :]
+            else:
+                lo = padded[:, :, pad + s:pad + s + w, :]
+                hi = padded[:, :, pad + s + 1:pad + s + 1 + w, :]
+            val = lo * (1.0 - r) + hi * r
+            out = jnp.where((shift == s)[..., None], val, out)
+        return out
+
+    qy = jnp.clip(gy[None] - flow[..., 0], 0.0, h - 1.0)
+    qx = jnp.clip(gx[None] - flow[..., 1], 0.0, w - 1.0)
+    out = pass_axis(image, qy, axis=0)
+    out = pass_axis(out, qx, axis=1)
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=('regularization', 'method', 'max_displacement',
+                              'clamp_flow'))
 def sparse_image_warp(image, source_control_points, dest_control_points,
-                      regularization=0.0):
+                      regularization=0.0, method='exact',
+                      max_displacement=8, clamp_flow=False):
     '''Warp so that pixels at source control points land on dest points.
 
     Args:
         image: [B, H, W, C] float array.
         source_control_points: [B, N, 2] (y, x) locations.
         dest_control_points: [B, N, 2] (y, x) locations.
+        method: 'exact' (gather-based bilinear, TFA semantics) or 'two_pass'
+            (select-based resample, much faster on TPU; see
+            dense_image_warp_twopass for the approximation bound).
+        max_displacement: flow clamp for the 'two_pass' method.
+        clamp_flow: clip the interpolated flow to ±max_displacement for BOTH
+            methods (the thin-plate interpolant can overshoot the clipped
+            control displacements between near-duplicate random points;
+            augmentation callers clamp so the realized warp honors the
+            configured max_diff bound).
 
     Returns:
         warped image [B, H, W, C].
@@ -106,13 +170,64 @@ def sparse_image_warp(image, source_control_points, dest_control_points,
     # flow(dest) must equal dest - source so that out(dest) = img(source)
     values = (dest_control_points - source_control_points).astype(jnp.float32)
 
+    # Solve in [0,1]-normalized coordinates: the r^2 log r kernel matrix is
+    # catastrophically ill-conditioned in f32 at pixel scale (entries ~1e5 at
+    # 256px; observed interpolated flows overshooting to ~1e3 px). 2D TPS
+    # interpolants are invariant under uniform domain scaling, so this only
+    # fixes conditioning. Displacement *values* stay in pixels.
+    scale = 1.0 / float(max(h, w))
+
     def flow_one(train_pts, train_vals):
-        wgt, v = _solve_spline(train_pts.astype(jnp.float32), train_vals)
+        wgt, v = _solve_spline(
+            train_pts.astype(jnp.float32) * scale, train_vals)
         gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(-1)
         gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(-1)
-        grid = jnp.stack([gy, gx], axis=-1)  # [HW, 2]
-        return _evaluate_spline(grid, train_pts.astype(jnp.float32),
+        grid = jnp.stack([gy, gx], axis=-1) * scale  # [HW, 2]
+        return _evaluate_spline(grid, train_pts.astype(jnp.float32) * scale,
                                 wgt, v).reshape(h, w, 2)
 
     flow = jax.vmap(flow_one)(dest_control_points, values)
+    if clamp_flow:
+        flow = jnp.clip(flow, -float(max_displacement),
+                        float(max_displacement))
+    if method == 'two_pass':
+        # First-order composition correction: the horizontal pass reads the
+        # vertically-resampled image at source column x' = qx(y, x), so the
+        # vertical pass must use the flow of the *target* column x ~
+        # x' + flow_x(y, x'). Evaluate flow_y at those shifted points (one
+        # more spline matmul); residual error is second-order (<0.1 px for
+        # the augmentation's flow magnitudes).
+        gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+
+        def corrected_fy(train_pts, train_vals, fl):
+            wgt, v = _solve_spline(
+                train_pts.astype(jnp.float32) * scale, train_vals)
+            qpts = jnp.stack(
+                [gy.reshape(-1), (gx + fl[..., 1]).reshape(-1)],
+                axis=-1) * scale
+            return _evaluate_spline(
+                qpts, train_pts.astype(jnp.float32) * scale,
+                wgt, v)[:, 0].reshape(h, w)
+
+        fy_corr = jax.vmap(corrected_fy)(dest_control_points, values, flow)
+        flow = jnp.stack([fy_corr, flow[..., 1]], axis=-1)
+        if _pallas_resample_ok(image.shape, max_displacement):
+            from .pallas.warp_kernel import dense_image_warp_twopass_pallas
+            return dense_image_warp_twopass_pallas(
+                image, flow, max_displacement)
+        return dense_image_warp_twopass(image, flow, max_displacement)
     return dense_image_warp(image, flow)
+
+
+def _pallas_resample_ok(shape, max_displacement):
+    '''Use the fused Pallas resample on a single TPU device; fall back to the
+    XLA select path on CPU and under multi-device SPMD (pallas_call is not
+    auto-partitioned by GSPMD).'''
+    try:
+        if jax.default_backend() == 'cpu' or jax.device_count() != 1:
+            return False
+        from .pallas.warp_kernel import supported
+        return supported(shape, max_displacement)
+    except Exception:
+        return False

@@ -1,0 +1,66 @@
+'''Fast-conv parity: the small-channel stencil paths must match the plain
+flax conv modules bit-for-bit (same parameter trees).'''
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from dnncancerannotator_tpu.models import fastconv as FC
+
+
+@pytest.mark.parametrize('padding', ['SAME', 'VALID'])
+@pytest.mark.parametrize('stride', [(1, 1), (2, 2)])
+def test_conv_parity(padding, stride):
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (2, 17, 19, 5))
+    ref = nn.Conv(3, (3, 3), strides=stride, padding=padding)
+    v = ref.init(rng, x)
+    fast = FC.Conv2DFast(3, (3, 3), strides=stride, padding=padding)
+    np.testing.assert_allclose(
+        np.asarray(fast.apply(v, x)), np.asarray(ref.apply(v, x)), atol=1e-5)
+
+
+@pytest.mark.parametrize('rate', [2, 3])
+def test_conv_transpose_parity(rate):
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (2, 9, 11, 4))
+    ref = nn.ConvTranspose(3, (rate, rate), strides=(rate, rate),
+                           padding='SAME')
+    v = ref.init(rng, x)
+    fast = FC.ConvTranspose2DFast(3, (rate, rate), strides=(rate, rate),
+                                  padding='SAME')
+    out_f = fast.apply(v, x)
+    out_r = ref.apply(v, x)
+    assert out_f.shape == out_r.shape == (2, 9 * rate, 11 * rate, 3)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               atol=1e-5)
+
+
+def test_large_channel_fallback_parity():
+    '''Above the small-channel limit the module must use the XLA conv.'''
+    rng = jax.random.PRNGKey(1)
+    x = jax.random.uniform(rng, (1, 9, 9, 40))
+    ref = nn.Conv(48, (3, 3), padding='SAME')
+    v = ref.init(rng, x)
+    fast = FC.Conv2DFast(48, (3, 3), padding='SAME')
+    np.testing.assert_allclose(
+        np.asarray(fast.apply(v, x)), np.asarray(ref.apply(v, x)), atol=1e-4)
+
+
+def test_grads_match():
+    '''Backward through the stencil path equals backward through lax conv.'''
+    rng = jax.random.PRNGKey(2)
+    x = jax.random.uniform(rng, (2, 12, 12, 3))
+    ref = nn.Conv(4, (3, 3), padding='SAME')
+    v = ref.init(rng, x)
+    fast = FC.Conv2DFast(4, (3, 3), padding='SAME')
+
+    def loss(module, params):
+        return jnp.sum(module.apply(params, x) ** 2)
+
+    g_ref = jax.grad(lambda p: loss(ref, p))(v)
+    g_fast = jax.grad(lambda p: loss(fast, p))(v)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fast)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
