@@ -139,8 +139,11 @@ class Engine:
         self.tx = optax.adam(
             learning_rate=self.schedule, b1=0.9, b2=0.999, eps=1e-7)
 
+        # optional 2D spatial partitioning: shard image rows over a 'model'
+        # mesh axis (halo exchanges inserted by XLA for the convs)
+        spatial = int(deploy.pop('spatial_partition', 1))
         n_devices = None if self.enable_multigpu else 1
-        self.mesh = mesh_lib.create_mesh(n_devices)
+        self.mesh = mesh_lib.create_mesh(n_devices, model_parallel=spatial)
         self._rep = mesh_lib.replicated(self.mesh)
         self._data_sh = mesh_lib.batch_sharding(self.mesh)
 
@@ -229,6 +232,20 @@ class Engine:
         self.current_step = latest_step
         logger.warning('Resumed from %s', latest_step)
 
+    # reference-API conveniences (engine.py:212-227)
+    def list_ckpts(self, save_path):
+        assert os.path.exists(save_path)
+        return self.get_ckpts(save_path)
+
+    def save(self, path, fileformat=None):
+        '''Save the current state as a checkpoint directory.'''
+        del fileformat
+        import orbax.checkpoint as ocp
+        assert self.state is not None, 'nothing to save; call build() first'
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(os.path.abspath(path), self.state, force=True)
+        return self
+
     # -- compiled steps ----------------------------------------------------
     def _make_train_step(self, dataset, multi_step=False):
         '''Build the jitted train step.
@@ -300,8 +317,9 @@ class Engine:
             state, (losses, probs, y) = jax.lax.scan(body, state, raw_batches)
             return state, losses, probs[-1], y[-1]
 
+        inner_spec = self._data_sh.spec
         batch_sh = jax.sharding.NamedSharding(
-            self.mesh, jax.sharding.PartitionSpec(None, 'data'))
+            self.mesh, jax.sharding.PartitionSpec(None, *inner_spec))
         return jax.jit(
             scan_fn,
             in_shardings=(self._rep, batch_sh, self._rep),
@@ -487,6 +505,16 @@ class Engine:
         t_start = time.perf_counter()
         n_done = 0
 
+        # console progress over steps (reference TFProgress,
+        # utils/callbacks.py:28-52)
+        progress = None
+        try:
+            from tqdm import tqdm
+            progress = tqdm(total=max_steps, initial=self.current_step,
+                            desc='train', disable=None)
+        except ImportError:
+            pass
+
         start_step = self.current_step
         step = self.current_step
         while step < max_steps:
@@ -551,6 +579,8 @@ class Engine:
                         if np.ndim(v) == 0:
                             writer.scalar(f'epoch_{k_}' if k_ in (
                                 'loss',) else k_, v, step)
+                if progress is not None:
+                    progress.update(1)
                 if step % log_every == 0 or step == max_steps:
                     rate = n_done / (time.perf_counter() - t_start)
                     logger.info('step %d/%d loss=%.4f (%.2f steps/s)',
@@ -569,6 +599,8 @@ class Engine:
                     break
 
         self.current_step = step
+        if progress is not None:
+            progress.close()
         if writer:
             writer.close()
         for cb in viz_callbacks:

@@ -35,7 +35,13 @@ def create_mesh(n_devices: Optional[int] = None, model_parallel: int = 1,
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    '''Shard the leading (batch) axis over the data axis.'''
+    '''Shard [B, H, W, C] batches: batch over ``data``; when the mesh has a
+    non-trivial ``model`` axis, additionally shard the H (spatial) dimension
+    over it — 2D spatial partitioning for resolutions beyond per-chip HBM
+    (the segmentation analog of sequence parallelism; XLA inserts the conv
+    halo exchanges automatically).'''
+    if mesh.shape['model'] > 1:
+        return NamedSharding(mesh, P('data', 'model'))
     return NamedSharding(mesh, P('data'))
 
 

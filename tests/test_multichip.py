@@ -86,3 +86,62 @@ def test_grad_sync_8_devices_vs_1():
     out = _run(['-c', GRAD_SYNC_SCRIPT])
     assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-2000:])
     assert 'GRAD_SYNC_OK' in out.stdout
+
+
+SPATIAL_SCRIPT = r'''
+import jax, numpy as np, yaml
+assert len(jax.devices()) == 8, jax.devices()
+from dnncancerannotator_tpu import engine as engine_lib
+from dnncancerannotator_tpu.parallel import mesh as mesh_lib
+
+CONFIG = {
+    'model': 'UNetAnnotator',
+    'model_options': dict(n_filters_first=2, n_downsample=2, rate=2,
+                          kernel_size=3, conv_stride=1, bn=False,
+                          padding='same'),
+    'deploy_options': {
+        'optimizer': 'adam',
+        'loss': {'class_name': 'WeightedCrossentropy',
+                 'config': {'weight_mul': 3.0}},
+        'enable_multigpu': True,
+    },
+}
+
+class DS:
+    slice_types = ('TRA', 'ADC', 'label')
+    augment_methods = [('random_crop', dict(output_size=(16, 16))),
+                       ('random_flip', {})]
+    feature_shape = (8, 16, 16, 2)
+
+rng = np.random.default_rng(0)
+raws = [rng.integers(0, 255, (8, 24, 24, 3), np.uint8) for _ in range(2)]
+
+results = {}
+for spatial in (2, 1):
+    cfg = yaml.safe_load(yaml.safe_dump(CONFIG))
+    cfg['deploy_options']['spatial_partition'] = spatial
+    if spatial == 1:
+        cfg['deploy_options']['enable_multigpu'] = False
+    eng = engine_lib.Engine(cfg, seed=7)
+    eng.build(DS.feature_shape)
+    assert eng.mesh.shape['model'] == spatial
+    step = eng._make_train_step(DS())
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for raw in raws:
+        raw_dev, _ = mesh_lib.shard_batch(eng.mesh, raw)
+        eng.state, loss, _, _ = step(eng.state, raw_dev, key)
+        losses.append(float(loss))
+    results[spatial] = losses
+
+np.testing.assert_allclose(results[2], results[1], rtol=2e-4)
+print('SPATIAL_OK', results[2])
+'''
+
+
+def test_spatial_partition_matches_single_device():
+    '''(data=4, model=2) spatial sharding must reproduce single-device math
+    (XLA halo exchange correctness through the full train step).'''
+    out = _run(['-c', SPATIAL_SCRIPT])
+    assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-2000:])
+    assert 'SPATIAL_OK' in out.stdout
