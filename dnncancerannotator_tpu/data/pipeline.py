@@ -293,6 +293,28 @@ class EvalDataset:
         return self._n_batches
 
 
+def base(path, slice_types=DEFAULT_SLICE_TYPES, output_size=(512, 512),
+         normalize_exams=True, include_meta=False):
+    '''Base element stream (API parity with reference data.py:157-207):
+    yields center-cropped float32 slices in [0, 1], or
+    ``{'slice': ..., meta...}`` dicts when ``include_meta``.
+
+    When ``normalize_exams`` the stream is an infinite equal-sampling
+    round-robin across sources; otherwise one pass in order.
+    '''
+    sources = _sources(path, slice_types)
+    streams = [
+        _source_stream(s, tuple(output_size) if output_size else None,
+                       repeat=normalize_exams)
+        for s in sources]
+    for img, meta in _interleave(streams):
+        slice_f32 = img.astype(np.float32) / 255.0
+        if include_meta:
+            yield dict(slice=slice_f32, **meta)
+        else:
+            yield slice_f32
+
+
 def train_ds(path, batch_size, buffer_size, repeat=True,
              slice_types=DEFAULT_SLICE_TYPES, normalize_exams=True,
              output_size=(256, 256), augment_options=None, **kwargs):

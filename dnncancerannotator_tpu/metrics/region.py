@@ -89,16 +89,22 @@ def _region_counts_single(y_true, y_pred, thresholds, iou_threshold,
 @functools.partial(
     jax.jit,
     static_argnames=('iou_threshold', 'resize_factor', 'morph_filter_size',
-                     'max_label_regions', 'max_pred_regions'))
+                     'max_label_regions', 'max_pred_regions', 'batch_chunk'))
 def region_confusion_batch(y_true, y_pred, thresholds, *, iou_threshold=0.30,
                            resize_factor=1.0, morph_filter_size=5,
-                           max_label_regions=32, max_pred_regions=64):
+                           max_label_regions=32, max_pred_regions=64,
+                           batch_chunk=4):
     '''Batched per-image region confusion counts.
 
     Args:
         y_true: [B, H, W] labels in [0, 1].
         y_pred: [B, H, W] or [B, H, W, 1] predicted probabilities.
         thresholds: [T] prediction thresholds.
+        batch_chunk: images processed concurrently. The per-image one-hot
+            intermediates are ~T*H*W*P*2 bytes (hundreds of MB at the
+            100-threshold PR-curve operating point); a fully vmapped batch of
+            64 overflows HBM, so the batch runs as a sequential ``lax.map``
+            over vmapped chunks.
 
     Returns:
         (tp_label, fn, tp_pred, fp): each [B, T] int32 (per-image counts;
@@ -123,7 +129,20 @@ def region_confusion_batch(y_true, y_pred, thresholds, *, iou_threshold=0.30,
         morph_filter_size=morph_filter_size,
         max_label_regions=max_label_regions,
         max_pred_regions=max_pred_regions)
-    return jax.vmap(fn)(y_true, y_pred)
+
+    b = y_true.shape[0]
+    chunk = max(1, min(batch_chunk, b))
+    pad = (-b) % chunk
+    if pad:
+        y_true = jnp.concatenate(
+            [y_true, jnp.zeros((pad, *y_true.shape[1:]), y_true.dtype)], 0)
+        y_pred = jnp.concatenate(
+            [y_pred, jnp.zeros((pad, *y_pred.shape[1:]), y_pred.dtype)], 0)
+    n_chunks = y_true.shape[0] // chunk
+    yt = y_true.reshape(n_chunks, chunk, *y_true.shape[1:])
+    yp = y_pred.reshape(n_chunks, chunk, *y_pred.shape[1:])
+    out = jax.lax.map(lambda args: jax.vmap(fn)(*args), (yt, yp))
+    return tuple(x.reshape(n_chunks * chunk, -1)[:b] for x in out)
 
 
 class _RegionBasedMetric:

@@ -62,17 +62,16 @@ def connected_components(mask):
         lax.broadcasted_iota(jnp.int32, (h, w), 1)
     init = jnp.where(mask, idx, sentinel)
 
-    def pointer_jump(l):
-        flat = l.reshape(-1)
-        jumped = flat[jnp.clip(flat, 0, hw - 1)].reshape(h, w)
-        return jnp.where(mask, jnp.minimum(l, jumped), sentinel)
-
+    # Row/column run-min sweeps only: each sweep spreads labels across whole
+    # straight runs, converging in the number of "turns" of the component
+    # geometry (a handful for real lesion masks). Pointer jumping would give
+    # O(log) worst-case convergence but costs a full gather per step — slow
+    # on TPU, and under vmap a conditional jump executes unconditionally —
+    # measured 3x slower overall at the 100-threshold eval operating point.
     def body(state):
         labels, _ = state
         new = _run_min(labels, mask, 1, sentinel)   # spread along rows
         new = _run_min(new, mask, 0, sentinel)      # spread along columns
-        new = pointer_jump(new)
-        new = pointer_jump(new)
         changed = jnp.any(new != labels)
         return new, changed
 

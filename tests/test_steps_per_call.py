@@ -1,0 +1,48 @@
+'''Multi-step device-loop determinism: training with steps_per_call K must
+produce exactly the same per-step losses as K=1 on the device-resident path
+(the per-step PRNG folds by the global step, so chunking is invisible).'''
+
+import numpy as np
+import yaml
+
+from tests import util_synth
+
+BASE_CONFIG = {
+    'model': 'UNetAnnotator',
+    'model_options': dict(n_filters_first=2, n_downsample=2, rate=2,
+                          kernel_size=3, conv_stride=1, bn=False,
+                          padding='same'),
+    'deploy_options': {
+        'optimizer': 'adam',
+        'loss': {'class_name': 'WeightedCrossentropy',
+                 'config': {'weight_mul': 3.0}},
+        'enable_multigpu': False,
+    },
+    'data_options': {
+        'train': {
+            'batch_size': 4, 'buffer_size': 16, 'output_size': [32, 32],
+            'base_size': 64,
+            'slice_types': ['TRA', 'ADC', 'DWI', 'DCEE', 'DCEL', 'label'],
+            'augment_options': {'random_crop': None, 'random_flip': None},
+        },
+    },
+}
+
+
+def _train_losses(data_paths, steps_per_call, max_steps=8):
+    from dnncancerannotator_tpu import engine as engine_lib
+    from dnncancerannotator_tpu import data as data_lib
+    cfg = yaml.safe_load(yaml.safe_dump(BASE_CONFIG))
+    cfg['deploy_options']['steps_per_call'] = steps_per_call
+    ds = data_lib.train_ds(data_paths, **cfg['data_options']['train'])
+    eng = engine_lib.Engine(cfg, seed=11)
+    results = eng.train(ds, max_steps=max_steps, save_freq=1 << 30,
+                        auto_resume=False, log_every=1 << 30)
+    return results.history['loss']
+
+
+def test_steps_per_call_is_invisible(tmp_path):
+    cancer, healthy = util_synth.make_tfrecords(str(tmp_path), size=64)
+    l1 = _train_losses([cancer, healthy], steps_per_call=1)
+    l4 = _train_losses([cancer, healthy], steps_per_call=4)
+    np.testing.assert_allclose(l1, l4, rtol=1e-5)
