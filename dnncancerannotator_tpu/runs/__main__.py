@@ -12,6 +12,8 @@ from ..utils import dscli
 
 def main(prog='python3 -m dnncancerannotator_tpu', argv=None):
     logging.basicConfig(level=logging.INFO)
+    from ..parallel import multihost
+    multihost.maybe_initialize()
     from . import evaluate, predict, train
     from . import extract
     from ..data import generate_tfrecords
