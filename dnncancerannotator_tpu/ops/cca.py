@@ -90,6 +90,43 @@ def connected_components(mask):
     return compact, n_regions
 
 
+def _compact_from_raw(raw, mask):
+    '''Compact converged raw min-index labels to 1..n (shared fixed point
+    with connected_components).'''
+    h, w = mask.shape
+    hw = h * w
+    flat = raw.reshape(-1)
+    is_root = (flat == jnp.arange(hw, dtype=jnp.int32)) & mask.reshape(-1)
+    ranks = jnp.cumsum(is_root.astype(jnp.int32))
+    compact = jnp.where(
+        mask.reshape(-1), ranks[jnp.clip(flat, 0, hw - 1)], 0).reshape(h, w)
+    return compact, ranks[-1]
+
+
+def _pallas_cca_ok(shape):
+    '''Fused Pallas propagation on a single TPU device with tile-aligned
+    planes (the roll-based lane scan requires the lane dim to be a multiple
+    of 128; pallas_call is not auto-partitioned by GSPMD).'''
+    try:
+        n, h, w = shape
+        if jax.default_backend() == 'cpu' or jax.device_count() != 1:
+            return False
+        if h % 8 or w % 128:
+            return False
+        from .pallas.cca_kernel import supported
+        return supported(shape)
+    except Exception:
+        return False
+
+
 def connected_components_batch(masks):
-    '''vmapped CCA over a leading batch/threshold axis ([N, H, W] bool).'''
+    '''Batched CCA over a leading batch/threshold axis ([N, H, W] bool).
+
+    Uses the VMEM-resident Pallas propagation kernel when eligible (see
+    ops/pallas/cca_kernel.py); falls back to the vmapped XLA while_loop.
+    '''
+    if _pallas_cca_ok(masks.shape):
+        from .pallas.cca_kernel import cca_raw_labels_pallas
+        raw = cca_raw_labels_pallas(masks)
+        return jax.vmap(_compact_from_raw)(raw, masks)
     return jax.vmap(connected_components)(masks)
