@@ -127,6 +127,8 @@ class Engine:
         self.compute_dtype = jnp.bfloat16 if precision in (
             'bfloat16', 'bf16') else None
         self.steps_per_call = int(deploy.pop('steps_per_call', 1))
+        self.max_checkpoints_to_keep = deploy.pop(
+            'max_checkpoints_to_keep', None)
 
         self.model_name = model_config['model']
         self.model, regularizer = models_lib.build_model(
@@ -206,16 +208,45 @@ class Engine:
                 found.append((int(m.group(1)), os.path.join(base_path, name)))
         return OrderedDict(sorted(found))
 
+    def _checkpointer(self):
+        '''Shared async checkpointer: saves overlap training (the reference's
+        Keras ModelCheckpoint blocks the train loop on every save).'''
+        if getattr(self, '_async_ckptr', None) is None:
+            import orbax.checkpoint as ocp
+            self._async_ckptr = ocp.AsyncCheckpointer(
+                ocp.StandardCheckpointHandler())
+        return self._async_ckptr
+
+    def finalize_checkpoints(self):
+        '''Block until any in-flight async checkpoint save commits.'''
+        if getattr(self, '_async_ckptr', None) is not None:
+            self._async_ckptr.wait_until_finished()
+
     def save_ckpt(self, base_path, step):
         import orbax.checkpoint as ocp
+        ckptr = self._checkpointer()
+        ckptr.wait_until_finished()  # at most one save in flight
         path = os.path.abspath(os.path.join(base_path, f'ckpt-{step}'))
-        with ocp.StandardCheckpointer() as ckptr:
-            ckptr.save(path, self.state, force=True)
+        ckptr.save(path, args=ocp.args.StandardSave(self.state), force=True)
+        self._prune_ckpts(base_path)
+
+    def _prune_ckpts(self, base_path):
+        '''Keep only the newest ``max_checkpoints_to_keep`` committed
+        checkpoints (None = keep all, the reference behavior).'''
+        if not self.max_checkpoints_to_keep:
+            return
+        import shutil
+        ckpts = self.get_ckpts(base_path)  # committed dirs only
+        excess = len(ckpts) - self.max_checkpoints_to_keep + 1
+        for step in sorted(ckpts)[:max(excess, 0)]:
+            shutil.rmtree(ckpts[step], ignore_errors=True)
+            logger.info('Pruned checkpoint %s', ckpts[step])
 
     def load(self, path):
         '''Load a checkpoint directory into the current state.'''
         import orbax.checkpoint as ocp
         assert self.state is not None, 'call build() before load()'
+        self.finalize_checkpoints()
         template = jax.tree.map(ocp.utils.to_shape_dtype_struct, self.state)
         with ocp.StandardCheckpointer() as ckptr:
             restored = ckptr.restore(os.path.abspath(path), template)
@@ -238,10 +269,11 @@ class Engine:
         return self.get_ckpts(save_path)
 
     def save(self, path, fileformat=None):
-        '''Save the current state as a checkpoint directory.'''
+        '''Save the current state as a checkpoint directory (synchronous).'''
         del fileformat
         import orbax.checkpoint as ocp
         assert self.state is not None, 'nothing to save; call build() first'
+        self.finalize_checkpoints()
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(os.path.abspath(path), self.state, force=True)
         return self
@@ -599,6 +631,7 @@ class Engine:
                     break
 
         self.current_step = step
+        self.finalize_checkpoints()
         if progress is not None:
             progress.close()
         if writer:
