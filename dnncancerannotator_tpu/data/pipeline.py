@@ -17,9 +17,8 @@ Parity map to the reference tf.data pipeline (reference: annotator/data.py):
   stay on the host — device batches carry only the image tensor.
 '''
 
-import itertools
 import os
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator
 
 import numpy as np
 

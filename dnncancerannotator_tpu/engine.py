@@ -25,7 +25,6 @@ TPU-first design:
 '''
 
 import copy
-import functools
 import logging
 import os
 import re

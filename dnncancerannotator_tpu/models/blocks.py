@@ -20,7 +20,7 @@ selects the compute precision (bf16 recommended on TPU) while parameters stay
 float32.
 '''
 
-from typing import Any, Callable, Optional, Sequence, Union
+from typing import Any, Callable, Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

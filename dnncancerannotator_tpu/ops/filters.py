@@ -6,8 +6,6 @@ normalized Gaussian kernel applied as a depthwise convolution with REFLECT
 padding. Lowered by XLA to TPU conv ops.
 '''
 
-import functools
-
 import jax.numpy as jnp
 from jax import lax
 

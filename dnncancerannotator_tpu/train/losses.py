@@ -18,8 +18,6 @@ sharded batch the positive-rate reduction is global, matching single-device
 semantics.
 '''
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

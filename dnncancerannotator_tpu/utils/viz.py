@@ -18,7 +18,6 @@ annotator/utils/callbacks.py:55-446), the observability workhorse:
   (callbacks.py:319-344).
 '''
 
-import functools
 import os
 
 import jax
