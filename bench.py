@@ -90,20 +90,25 @@ def measure_tpu():
     eng.train(ds, max_steps=WARMUP, save_freq=1 << 30, auto_resume=False,
               log_every=1 << 30)  # compile + warmup
 
-    # differential timing: two train() calls differing only in step count —
-    # the per-call fixed setup (dataset load, device_put) cancels exactly
+    # differential timing: train() calls differing only in step count — the
+    # per-call fixed setup (dataset load, device_put) cancels exactly. Two
+    # long measurements, best taken (relay-induced stalls only ever slow a
+    # run down).
     short, long = STEPS // 4, STEPS
     t0 = time.perf_counter()
     eng.train(ds, max_steps=WARMUP + short, save_freq=1 << 30,
               auto_resume=False, log_every=1 << 30)
     t_short = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    results = eng.train(ds, max_steps=WARMUP + short + long,
-                        save_freq=1 << 30, auto_resume=False,
-                        log_every=1 << 30)
-    t_long = time.perf_counter() - t0
-    elapsed = max(t_long - t_short, 1e-6)
-    return (long - short) * BATCH / elapsed, results.history['loss'][-1]
+    rates = []
+    total = WARMUP + short
+    for _ in range(2):
+        t0 = time.perf_counter()
+        results = eng.train(ds, max_steps=total + long, save_freq=1 << 30,
+                            auto_resume=False, log_every=1 << 30)
+        t_long = time.perf_counter() - t0
+        total += long
+        rates.append((long - short) * BATCH / max(t_long - t_short, 1e-6))
+    return max(rates), results.history['loss'][-1]
 
 
 def measure_tf_cpu_baseline():
