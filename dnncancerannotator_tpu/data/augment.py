@@ -44,37 +44,72 @@ def random_crop(image, key, output_size=(512, 512), stddev=4, max_=6, min_=-6):
     return image_ops.crop_to_bounding_box(image, off[0], off[1], th, tw)
 
 
+# above this many jitter offsets per axis, masked static slices stop paying
+# for themselves and the crop falls back to a vmapped dynamic_slice gather
+_CROP_SELECT_LIMIT = 33
+
+
+def _crop_select(images, off, output_size, y_range, x_range):
+    '''Crop via masked static slices over the reachable offset window.
+
+    The jitter is clipped to [min_, max_], so only ``max_ - min_ + 1``
+    offsets per axis are ever reachable (13 at the defaults) — regardless of
+    how much larger the source image is. Selecting among static slices keeps
+    the crop vectorized with no gathers.
+    '''
+    b, h, w, c = images.shape
+    th, tw = output_size
+    out_y = jnp.zeros((b, th, w, c), images.dtype)
+    for d in range(y_range[0], y_range[1] + 1):
+        sel = (off[:, 0] == d)[:, None, None, None]
+        out_y = jnp.where(sel, images[:, d:d + th], out_y)
+    out = jnp.zeros((b, th, tw, c), images.dtype)
+    for d in range(x_range[0], x_range[1] + 1):
+        sel = (off[:, 1] == d)[:, None, None, None]
+        out = jnp.where(sel, out_y[:, :, d:d + tw], out)
+    return out
+
+
+def _crop_gather(images, off, output_size):
+    '''Crop via vmapped dynamic_slice (XLA gather) — slower on TPU but safe
+    for arbitrarily wide jitter windows.'''
+    th, tw = output_size
+    c = images.shape[-1]
+    return jax.vmap(
+        lambda img, o: jax.lax.dynamic_slice(img, (o[0], o[1], 0),
+                                             (th, tw, c)))(images, off)
+
+
 def random_crop_batch(images, key, output_size=(512, 512), stddev=4, max_=6,
                       min_=-6):
-    '''Batched jittered center crop via one-hot selector matmuls.
-
-    vmapping ``dynamic_slice`` over per-image offsets lowers to an XLA gather
-    (slow on TPU); expressing the row/column selection as two small one-hot
-    matmuls keeps the crop on the MXU. Identical sampling semantics to
+    '''Batched jittered center crop; sampling semantics identical to
     ``random_crop`` (truncated-normal integer jitter, reference
     data.py:677-689).
+
+    Strategy: masked static slices over the reachable jitter window when it
+    is small (the normal case — offsets only span ``max_ - min_ + 1``
+    values), a vmapped ``dynamic_slice`` otherwise, so an exotic config
+    (e.g. random_crop applied second, at full-resolution inputs, with a huge
+    jitter) can never statically unroll H*W branches.
     '''
     b, h, w, c = images.shape
     th, tw = output_size
     diff = jnp.clip(
         (jax.random.normal(key, [b, 2]) * stddev).astype(jnp.int32),
-        min_, max_)
+        int(min_), int(max_))
     base = jnp.array([(h - th) // 2, (w - tw) // 2], jnp.int32)
     off = jnp.clip(base[None, :] + diff, 0,
                    jnp.array([h - th, w - tw], jnp.int32))
 
-    # few possible offsets (the host pre-crops to out + 2*max_): select among
-    # static slices — exact, vectorized, no gathers
-    ny, nx = h - th + 1, w - tw + 1
-    out_y = jnp.zeros((b, th, w, c), images.dtype)
-    for d in range(ny):
-        sel = (off[:, 0] == d)[:, None, None, None]
-        out_y = jnp.where(sel, images[:, d:d + th], out_y)
-    out = jnp.zeros((b, th, tw, c), images.dtype)
-    for d in range(nx):
-        sel = (off[:, 1] == d)[:, None, None, None]
-        out = jnp.where(sel, out_y[:, :, d:d + tw], out)
-    return out
+    y_range = (max(0, (h - th) // 2 + int(min_)),
+               min(h - th, (h - th) // 2 + int(max_)))
+    x_range = (max(0, (w - tw) // 2 + int(min_)),
+               min(w - tw, (w - tw) // 2 + int(max_)))
+    n_y = y_range[1] - y_range[0] + 1
+    n_x = x_range[1] - x_range[0] + 1
+    if max(n_y, n_x) > _CROP_SELECT_LIMIT:
+        return _crop_gather(images, off, output_size)
+    return _crop_select(images, off, output_size, y_range, x_range)
 
 
 def random_flip(image, key):

@@ -228,17 +228,28 @@ class TrainDataset:
                     counts=np.asarray(counts, np.int32),
                     balanced=self.normalize_exams)
 
+    def _elements(self):
+        '''Element stream honoring both cycling knobs.
+
+        ``normalize_exams`` cycles each source independently (equal sampling,
+        reference data.py:515-525); ``repeat`` cycles the WHOLE dataset across
+        epochs — the reference applies ``.repeat()`` unconditionally in
+        train_ds (data.py:106-110), so with ``normalize_exams: false`` the
+        stream must still restart after each in-order pass rather than die.
+        '''
+        while True:
+            sources = _sources(self.paths, self.slice_types)
+            streams = [
+                _source_stream(s, self.host_crop, repeat=self.normalize_exams)
+                for s in sources]
+            yield from _interleave(streams)
+            if not self.repeat:
+                return
+
     def raw_batches(self, seed=None) -> Iterator[np.ndarray]:
         '''Infinite (if repeat) stream of raw uint8 batches.'''
         rng = np.random.default_rng(self.seed if seed is None else seed)
-        sources = _sources(self.paths, self.slice_types)
-        streams = [
-            _source_stream(s, self.host_crop, repeat=self.normalize_exams)
-            for s in sources]
-        stream = _interleave(streams)
-        if self.normalize_exams and not self.repeat:
-            pass  # normalize implies infinite; repeat flag governs epochs
-        stream = (img for img, _meta in stream)
+        stream = (img for img, _meta in self._elements())
         stream = _shuffle(stream, self.buffer_size, rng)
         batch = []
         for img in stream:

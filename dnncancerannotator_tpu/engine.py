@@ -41,7 +41,9 @@ from . import metrics as metrics_lib
 from .data import augment as augment_mod
 from .parallel import mesh as mesh_lib
 from .train import losses as losses_lib
+from .train import optimizers as optimizers_lib
 from .train import schedules as schedules_lib
+from .utils import checks
 from .utils import tboard
 
 logger = logging.getLogger(__name__)
@@ -115,8 +117,7 @@ class Engine:
         deploy = copy.deepcopy(model_config['deploy_options'])
         self.enable_multigpu = deploy.pop('enable_multigpu', True)
         lr_spec = deploy.pop('LearningRateScheduler', None)
-        self.schedule = schedules_lib.solve_schedule(lr_spec) \
-            or schedules_lib.constant(0.001)
+        schedule = schedules_lib.solve_schedule(lr_spec)
         optimizer = deploy.pop('optimizer', 'adam')
         loss_spec = deploy.pop('loss', 'WeightedCrossentropy')
         self.loss = losses_lib.solve_loss(loss_spec)
@@ -126,6 +127,9 @@ class Engine:
         self.compute_dtype = jnp.bfloat16 if precision in (
             'bfloat16', 'bf16') else None
         self.steps_per_call = int(deploy.pop('steps_per_call', 1))
+        # opt-in checkify functionalization of the step (runtime numeric
+        # asserts; reference tf.debugging.assert_* parity, losses.py:30,91-99)
+        self.debug_asserts = bool(deploy.pop('debug_asserts', False))
         self.max_checkpoints_to_keep = deploy.pop(
             'max_checkpoints_to_keep', None)
 
@@ -135,10 +139,10 @@ class Engine:
             dtype=self.compute_dtype)
         self.l2_scale = self._solve_regularizer(regularizer)
 
-        if optimizer != 'adam':
-            raise NotImplementedError(f'optimizer {optimizer!r}')
-        self.tx = optax.adam(
-            learning_rate=self.schedule, b1=0.9, b2=0.999, eps=1e-7)
+        # Keras-parity optimizer resolution: name string or
+        # {'class_name', 'config'} dict (reference engine.py:276-284).
+        self.tx, self.schedule = optimizers_lib.solve_optimizer(
+            optimizer, schedule)
 
         # optional 2D spatial partitioning: shard image rows over a 'model'
         # mesh axis (halo exchanges inserted by XLA for the convs)
@@ -286,6 +290,7 @@ class Engine:
         steps as a ``lax.scan`` device loop — one dispatch per K steps, the
         standard TPU host-overhead amortization.
         '''
+        checks.enable(self.debug_asserts)
         aug_fn = augment_mod.build_augment_fn(dataset.augment_methods)
         slice_types = dataset.slice_types
         has_bn = self._has_bn
@@ -332,13 +337,13 @@ class Engine:
             return one_step  # unjitted body, for composition
 
         if not multi_step:
-            return jax.jit(
+            return checks.checked(jax.jit(
                 one_step,
                 in_shardings=(self._rep, self._data_sh, self._rep),
                 out_shardings=(self._rep, self._rep, self._data_sh,
                                self._data_sh),
-                donate_argnums=(0,),
-            )
+                donate_argnums=() if self.debug_asserts else (0,),
+            ))
 
         def scan_fn(state, raw_batches, key):
             def body(carry, raw):
@@ -351,13 +356,13 @@ class Engine:
         inner_spec = self._data_sh.spec
         batch_sh = jax.sharding.NamedSharding(
             self.mesh, jax.sharding.PartitionSpec(None, *inner_spec))
-        return jax.jit(
+        return checks.checked(jax.jit(
             scan_fn,
             in_shardings=(self._rep, batch_sh, self._rep),
             out_shardings=(self._rep, self._rep, self._data_sh,
                            self._data_sh),
-            donate_argnums=(0,),
-        )
+            donate_argnums=() if self.debug_asserts else (0,),
+        ))
 
     def _make_resident_train_step(self, dataset, n_sources, balanced, k):
         '''Fully device-resident train step: the uint8 dataset tensor lives in
@@ -570,6 +575,11 @@ class Engine:
                 self.state, loss, probs, y = train_step(
                     self.state, next(batches), key)
                 losses = [float(loss)]
+            # the loss scalar comes back to the host anyway — fail fast on
+            # numeric blowup instead of training onward on garbage
+            if not all(map(np.isfinite, losses)):
+                raise FloatingPointError(
+                    f'non-finite loss at step ~{step + 1}: {losses}')
 
             if profile and getattr(self, '_profiling', False) and \
                     step >= start_step + 200 + 10:
@@ -683,7 +693,7 @@ class Engine:
         if viz_ds is not None:
             from .utils import viz as viz_lib
             viz_callback = viz_lib.Visualizer(
-                tag, viz_ds, 1, save_dir=export_path,
+                tag, viz_ds, 1, save_dir=export_path, ignore_test=False,
                 export_images=export_images,
                 export_csv=export_csv,
                 visualize_sensitivity=visualize_sensitivity,
@@ -710,7 +720,7 @@ class Engine:
             result_rows[ckpt_step] = results
             logger.info('ckpt step %d: %s', ckpt_step, results)
             if viz_callback is not None:
-                viz_callback.on_step(self, ckpt_step)
+                viz_callback.on_test(self, ckpt_step)
 
         if export_csv:
             os.makedirs(os.path.join(export_path, tag), exist_ok=True)

@@ -28,6 +28,7 @@ tensors into fixed-shape masked math that jits, vmaps and shards cleanly.
 '''
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -80,10 +81,13 @@ def _region_counts_single(y_true, y_pred, thresholds, iou_threshold,
 
     tp_label = jnp.sum(label_hit & valid_l, axis=1).astype(jnp.int32)
     tp_pred = jnp.sum(pred_hit & valid_p, axis=1).astype(jnp.int32)
-    # regions beyond the static capacity count as undetected (conservative)
+    # Regions beyond the static capacity count as undetected here; the true
+    # counts are returned so the host wrapper can detect overflow and re-run
+    # at a doubled capacity (reference ragged semantics, metrics.py:261,300).
     fn = n_lab.astype(jnp.int32) - tp_label
     fp = n_pred.astype(jnp.int32) - tp_pred
-    return tp_label, fn, tp_pred, fp
+    return tp_label, fn, tp_pred, fp, n_lab.astype(jnp.int32), \
+        n_pred.astype(jnp.int32)
 
 
 @functools.partial(
@@ -107,8 +111,10 @@ def region_confusion_batch(y_true, y_pred, thresholds, *, iou_threshold=0.30,
             over vmapped chunks.
 
     Returns:
-        (tp_label, fn, tp_pred, fp): each [B, T] int32 (per-image counts;
-        reference ``return_raw=True`` shape, metrics.py:283).
+        (tp_label, fn, tp_pred, fp, n_lab, n_pred): counts are [B, T] int32
+        (per-image, reference ``return_raw=True`` shape, metrics.py:283);
+        ``n_lab`` [B] and ``n_pred`` [B, T] are the TRUE component counts,
+        which may exceed the static capacities — callers must check.
     '''
     y_true = y_true.astype(jnp.float32)
     if y_pred.ndim == y_true.ndim + 1:
@@ -142,7 +148,7 @@ def region_confusion_batch(y_true, y_pred, thresholds, *, iou_threshold=0.30,
     yt = y_true.reshape(n_chunks, chunk, *y_true.shape[1:])
     yp = y_pred.reshape(n_chunks, chunk, *y_pred.shape[1:])
     out = jax.lax.map(lambda args: jax.vmap(fn)(*args), (yt, yp))
-    return tuple(x.reshape(n_chunks * chunk, -1)[:b] for x in out)
+    return tuple(x.reshape(n_chunks * chunk, *x.shape[2:])[:b] for x in out)
 
 
 class _RegionBasedMetric:
@@ -166,14 +172,48 @@ class _RegionBasedMetric:
         self.reset_state()
 
     # -- raw count APIs (reference metrics.py:206-302) ---------------------
+    MAX_REGION_CAP = 2048  # escalation ceiling; beyond this, truncate + warn
+
     def _raw(self, y_true, y_pred):
-        return region_confusion_batch(
-            jnp.asarray(y_true), jnp.asarray(y_pred), self.thresholds,
-            iou_threshold=self.IoU_threshold,
-            resize_factor=self.resize_factor,
-            morph_filter_size=self.morph_filter_size,
-            max_label_regions=self.max_label_regions,
-            max_pred_regions=self.max_pred_regions)
+        '''Region counts with automatic capacity escalation.
+
+        The jitted kernel uses static region capacities; when an image's
+        true component count exceeds them (noisy predictions at low PR-curve
+        thresholds routinely do), the batch is re-run with the caps doubled
+        until everything fits — matching the reference's exact ragged
+        semantics (metrics.py:261,300) without dynamic shapes under jit.
+        '''
+        y_true, y_pred = jnp.asarray(y_true), jnp.asarray(y_pred)
+        lcap, pcap = self.max_label_regions, self.max_pred_regions
+        while True:
+            # one-hot memory scales with pcap: shrink the vmapped chunk as
+            # the capacity grows so peak HBM stays roughly constant
+            chunk = max(1, (4 * 64) // max(pcap, 64))
+            tp, fn, tp_pred, fp, n_lab, n_pred = region_confusion_batch(
+                y_true, y_pred, self.thresholds,
+                iou_threshold=self.IoU_threshold,
+                resize_factor=self.resize_factor,
+                morph_filter_size=self.morph_filter_size,
+                max_label_regions=lcap, max_pred_regions=pcap,
+                batch_chunk=chunk)
+            need_l = int(np.asarray(n_lab).max(initial=0))
+            need_p = int(np.asarray(n_pred).max(initial=0))
+            if need_l <= lcap and need_p <= pcap:
+                return tp, fn, tp_pred, fp
+            if lcap >= self.MAX_REGION_CAP and pcap >= self.MAX_REGION_CAP:
+                logging.warning(
+                    'region counts (%d labels, %d preds) exceed the %d '
+                    'escalation ceiling; overflow regions counted as '
+                    'undetected', need_l, need_p, self.MAX_REGION_CAP)
+                return tp, fn, tp_pred, fp
+            while lcap < min(need_l, self.MAX_REGION_CAP):
+                lcap *= 2
+            while pcap < min(need_p, self.MAX_REGION_CAP):
+                pcap *= 2
+            logging.info(
+                'region capacity exceeded (%d labels / %d preds); '
+                're-running batch at caps (%d, %d)', need_l, need_p,
+                lcap, pcap)
 
     def get_tp_fn_fp(self, y_true, y_pred, sample_weight=None,
                      return_raw=False):

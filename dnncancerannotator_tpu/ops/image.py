@@ -37,31 +37,61 @@ def center_crop(image, target_h, target_w):
 
 
 def resize_bilinear(image, target_h, target_w):
-    '''Bilinear resize with half-pixel centers (TF2 ``tf.image.resize``
-    default semantics — jax.image.resize('linear') matches).'''
-    shape = list(image.shape)
-    shape[-3], shape[-2] = target_h, target_w
-    return jax.image.resize(image.astype(jnp.float32), shape, method='linear')
+    '''Bilinear resize with half-pixel centers — exact TF2
+    ``tf.image.resize(method='bilinear', antialias=False)`` semantics.
+
+    NOT ``jax.image.resize('linear')``: that applies an antialiasing
+    triangle filter when downscaling, whereas TF point-samples at half-pixel
+    centers (golden-verified in tests/test_augment_golden.py). Implemented
+    as two separable sparse interpolation matmuls — gather-free, lands on
+    the MXU.
+    '''
+    def weights(n_in, n_out):
+        scale = n_in / n_out
+        q = jnp.clip((jnp.arange(n_out) + 0.5) * scale - 0.5, 0.0,
+                     n_in - 1.0)
+        lo = jnp.clip(jnp.floor(q).astype(jnp.int32), 0, max(n_in - 2, 0))
+        r = (q - lo).astype(jnp.float32)
+        rows = jnp.arange(n_out)
+        w = jnp.zeros((n_out, n_in), jnp.float32)
+        w = w.at[rows, lo].set(1.0 - r)
+        if n_in > 1:
+            w = w.at[rows, lo + 1].add(r)
+        return w
+
+    image = image.astype(jnp.float32)
+    h, w = image.shape[-3], image.shape[-2]
+    wy = weights(h, target_h)
+    wx = weights(w, target_w)
+    tmp = jnp.einsum('oh,...hwc->...owc', wy, image)
+    return jnp.einsum('pw,...owc->...opc', wx, tmp)
 
 
-def random_contrast(key, image, lower, upper, target_channels):
-    '''Per-image random contrast on selected channels.
-
-    TF semantics (``tf.image.random_contrast``): draw one factor for the image,
-    then ``(x - mean_c) * factor + mean_c`` with a per-channel spatial mean.
-    Only ``target_channels`` are adjusted; others pass through (reference
-    data.py:594-609).
+def adjust_contrast(image, factor, target_channels=None):
+    '''``tf.image.adjust_contrast`` semantics on selected channels:
+    ``(x - mean_c) * factor + mean_c`` with a per-channel spatial mean;
+    channels outside ``target_channels`` pass through untouched
+    (reference data.py:594-609).
 
     Args:
-        key: PRNG key.
         image: [H, W, C].
+        factor: scalar contrast factor.
+        target_channels: channel index sequence; None adjusts all.
     '''
-    factor = jax.random.uniform(key, (), minval=lower, maxval=upper)
     means = jnp.mean(image, axis=(0, 1), keepdims=True)  # [1, 1, C]
     adjusted = (image - means) * factor + means
+    if target_channels is None:
+        return adjusted
     c = image.shape[-1]
     mask = jnp.zeros((c,), bool).at[jnp.asarray(target_channels)].set(True)
     return jnp.where(mask[None, None, :], adjusted, image)
+
+
+def random_contrast(key, image, lower, upper, target_channels):
+    '''Per-image random contrast on selected channels
+    (``tf.image.random_contrast``: one uniform factor per image).'''
+    factor = jax.random.uniform(key, (), minval=lower, maxval=upper)
+    return adjust_contrast(image, factor, target_channels)
 
 
 def random_flip_left_right(key, image):

@@ -24,25 +24,28 @@ def evaluate(
     export_casewise_metrics=False,
 ):
     '''
-    Evaluate a model with specified configs
-    for every checkpoint available.
+    Evaluate every checkpoint of a finished (or running) training job,
+    reusing the options.yaml recorded at train time.
 
     Args:
-        save_path: where to find weights/configs/results
-        data_path (list[str]): path to the data root dir
-        tag: save tag
-        config (list[str]): configuration file path
-            This option accepts arbitrary number of configs.
+        save_path: training output directory holding checkpoints and
+            options.yaml
+        data_path (list[str]): evaluation data (.tfrecords files or exam
+            directory trees)
+        tag: name of the results subdirectory under tfevents/
+        config (list[str]): optional config overlays applied on top of the
+            recorded training options
         avoid_overwrite (bool): rename tag when it already exists
-        export_path (str): path to export results
-        export_images (bool): export images
-        export_csv (bool): export results csv
-        visualize_sensitivity (bool): visualize input sensitivity
-        min_interval (int): minimum interval in steps between evaluations
-        step_range (list[int]): range of steps to evaluate ("start end")
-        overlay (bool): overlay segmentation on the input image
-        skip_visualization (bool): skip the visualization pass
-        export_casewise_metrics (bool): export per-case evaluation results
+        export_path (str): alternate root for exported artifacts
+        export_images (bool): write per-slice PNG grids
+        export_csv (bool): write per-checkpoint results.csv
+        visualize_sensitivity (bool): add input-sensitivity charts
+        min_interval (int): skip checkpoints closer than this many steps
+        step_range (list[int]): only evaluate checkpoints inside
+            "start end"
+        overlay (bool): blend the predicted mask over the input image
+        skip_visualization (bool): metrics only, no visualizer pass
+        export_casewise_metrics (bool): also write casewise_results.csv
             (needs export_csv)
     '''
     saved_config = os.path.join(save_path, 'options.yaml')

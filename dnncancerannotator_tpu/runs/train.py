@@ -21,26 +21,24 @@ def train(
     profile=False,
 ):
     '''
-    Train a model with specified configs.
-    This function will first dump the input arguments,
-    then train a model, finally dump results.
+    Run a training job: record the resolved options under save_path,
+    fit the model, and write the final results pickle.
 
     Args:
-        config (list[str]): configuration file path
-            This option accepts arbitrary number of configs.
-            If a list is specified, the first one is considered
-            as a "main" config, and the other ones will overwrite the content
-        save_path: where to save weights/configs/results
-        data_path (list[str]): path to the data root dir
-        max_steps (int): max training steps
-        early_stop_steps (int): steps to train without improvements
-            None(default) disables this feature
-        save_freq (int): interval of checkpoints
-            default: 500 steps
-        validate (bool): also validate the model on the validation dataset
-        val_data_path (list[str]): path to the validation dataset
-        visualize (bool): should visualize results
-        profile (bool): enable profiling
+        config (list[str]): one or more YAML/JSON config files; the first
+            is the base and each later file is overlaid onto it
+            (dotted keys merge into nested sections)
+        save_path: output directory for checkpoints, options and results
+        data_path (list[str]): training data (.tfrecords files or exam
+            directory trees)
+        max_steps (int): stop after this many optimizer steps
+        early_stop_steps (int): abort when validation loss has not improved
+            for this many steps; disabled when None (default)
+        save_freq (int): checkpoint every N steps (default 500)
+        validate (bool): evaluate on val_data_path at every checkpoint
+        val_data_path (list[str]): validation data location
+        visualize (bool): write image/PR-curve summaries during training
+        profile (bool): capture a profiler trace window
     '''
     config = config_lib.load_config(config)
     dump_lib.dump_options(

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.filters import gaussian_filter2d
+from ..utils import checks
 
 
 def sigmoid_bce_from_logits(labels, logits):
@@ -51,10 +52,15 @@ def weighted_crossentropy(labels, logits, weight=None, weight_add=0.0,
     labels = labels.astype(jnp.float32)
     logits = logits.astype(jnp.float32)
 
+    # runtime guards (reference losses.py:30,91-99), active only when
+    # deploy_options.debug_asserts functionalizes the step
+    checks.check_range(labels, 0.0, 1.0, 'labels')
     if weight is None:
         rate = positive_rate(labels)
+        checks.check_range(rate, 0.0, 1.0, 'positive_rate')
         weight = jnp.where(rate > 0.0, 1.0 / jnp.maximum(rate, 1e-12), 1.0)
     weight = weight_mul * weight + weight_add
+    checks.check_non_negative(jnp.asarray(weight), 'loss weight')
     weight_mask = labels * (weight - 1.0) + 1.0
 
     bce = sigmoid_bce_from_logits(labels, logits)

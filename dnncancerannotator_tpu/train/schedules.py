@@ -12,10 +12,18 @@ import re
 
 import jax.numpy as jnp
 
-_LAMBDA_RE = re.compile(
-    r'^\s*lambda\s+\w+\s*,\s*\w+\s*:\s*'
-    r'([0-9.eE+-]+)\s*\*\s*([0-9.eE+-]+)\s*\*\*\s*'
+# Recognized lambda-string forms (parsed, never eval'ed):
+#   lambda epoch, lr: A * B ** (epoch // C)   -> exponential step decay
+#   lambda epoch, lr: A * B ** epoch          -> per-step exponential decay
+#   lambda epoch, lr: A                       -> constant
+_NUM = r'[0-9.eE+-]+'
+_LAMBDA_HEAD = r'^\s*lambda\s+\w+\s*,\s*\w+\s*:\s*'
+_LAMBDA_STEP_RE = re.compile(
+    _LAMBDA_HEAD + rf'({_NUM})\s*\*\s*({_NUM})\s*\*\*\s*'
     r'\(\s*\w+\s*//\s*([0-9]+)\s*\)\s*$')
+_LAMBDA_EXP_RE = re.compile(
+    _LAMBDA_HEAD + rf'({_NUM})\s*\*\s*({_NUM})\s*\*\*\s*\w+\s*$')
+_LAMBDA_CONST_RE = re.compile(_LAMBDA_HEAD + rf'({_NUM})\s*$')
 
 
 def exponential_step_decay(initial, rate, interval):
@@ -54,12 +62,21 @@ def solve_schedule(spec):
                 int(spec['interval']))
         raise ValueError(f'Unknown schedule kind {kind!r}')
     if isinstance(spec, str):
-        m = _LAMBDA_RE.match(spec)
-        if not m:
-            raise ValueError(
-                'LR schedule strings must match the form '
-                '"lambda epoch, current_lr: A * B ** (epoch // C)"; '
-                f'got: {spec!r}')
-        return exponential_step_decay(
-            float(m.group(1)), float(m.group(2)), int(m.group(3)))
+        m = _LAMBDA_STEP_RE.match(spec)
+        if m:
+            return exponential_step_decay(
+                float(m.group(1)), float(m.group(2)), int(m.group(3)))
+        m = _LAMBDA_EXP_RE.match(spec)
+        if m:
+            return exponential_step_decay(
+                float(m.group(1)), float(m.group(2)), interval=1)
+        m = _LAMBDA_CONST_RE.match(spec)
+        if m:
+            return constant(float(m.group(1)))
+        raise ValueError(
+            'LR schedule strings are parsed, not eval\'ed; supported forms: '
+            '"lambda epoch, current_lr: A * B ** (epoch // C)", '
+            '"... : A * B ** epoch", "... : A". For anything else use the '
+            "dict spec {'kind': 'exponential_step_decay', 'initial': A, "
+            f"'rate': B, 'interval': C}}; got: {spec!r}")
     raise ValueError(f'Cannot resolve schedule spec: {spec!r}')

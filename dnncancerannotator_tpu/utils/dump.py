@@ -1,72 +1,80 @@
 '''Dump run options and training results to disk.
 
 Behavioral parity with reference annotator/utils/dump.py:
-- ``dump_options`` renames the target (``x.yaml`` -> ``x_.yaml``) while a file
-  already exists at the path (reference: dump.py:30-33).
-- ``dump_train_results`` writes {epoch, history, params, model} as pickle/yaml
-  (reference: dump.py:52-82).
+- ``dump_options`` never overwrites: while the target exists, an underscore
+  is appended to the filename stem (``x.yaml`` -> ``x_.yaml`` -> ``x__.yaml``,
+  reference: dump.py:30-33).
+- ``dump_train_results`` writes {epoch, history, params, model} as
+  pickle/yaml (reference: dump.py:52-82).
 '''
 
 import json
-import os
+import pathlib
 import pickle
+from functools import partial
 
 import yaml
 
+_WRITERS = {
+    'json': ('w', json.dump),
+    'yaml': ('w', partial(yaml.safe_dump, default_flow_style=False)),
+    'pickle': ('wb', pickle.dump),
+}
+
+
+def _free_path(path):
+    '''First non-existing variant of ``path``, growing the stem by "_".'''
+    p = pathlib.Path(path)
+    stem = p.stem
+    while p.exists():
+        stem += '_'
+        p = p.with_name(stem + p.suffix)
+    return p
+
+
+def _serialize(obj, path):
+    '''Write ``obj`` to ``path`` in the format its extension names.'''
+    fmt = path.suffix.lstrip('.')
+    if fmt not in _WRITERS:
+        raise NotImplementedError(f'Unimplemented format {fmt}')
+    mode, writer = _WRITERS[fmt]
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, mode) as fh:
+        writer(obj, fh)
+
 
 def dump_options(path, avoid_overwrite=False, **options):
-    '''Dump options to file, renaming on collision.
+    '''Dump run options, renaming on collision; returns the path written.
 
     Args:
-        path: path to the output file; format chosen by extension.
+        path: output file; format chosen by extension (yaml/json/pickle).
         avoid_overwrite: kept for API parity; collisions are always renamed
             (matching the reference behavior).
-        options: options to dump.
+        options: the option mapping to dump.
     '''
-    while os.path.exists(path):
-        base = os.path.basename(path)
-        new_base = '{}_{}'.format(*os.path.splitext(base))
-        path = os.path.join(os.path.dirname(path), new_base)
-
-    format_ = os.path.splitext(path)[1][1:]
-    dir_ = os.path.dirname(path)
-    if dir_:
-        os.makedirs(dir_, exist_ok=True)
-
-    if format_ == 'json':
-        with open(path, 'w') as f:
-            json.dump(options, f)
-    elif format_ == 'yaml':
-        with open(path, 'w') as f:
-            yaml.safe_dump(options, f)
-    elif format_ == 'pickle':
-        with open(path, 'wb') as f:
-            pickle.dump(options, f)
-    else:
-        raise NotImplementedError(f'Unimplemented format {format_}')
-    return path
+    target = _free_path(path)
+    _serialize(options, target)
+    return str(target)
 
 
 def dump_train_results(path, train_results, format_='pickle'):
-    '''Dump training results ({epoch, history, params, model}) to a file.'''
-    format_ = format_.lower()
-    dir_ = os.path.dirname(path)
-    if dir_:
-        os.makedirs(dir_, exist_ok=True)
+    '''Dump training results ({epoch, history, params, model}) to a file.
 
-    dump_content = {
-        'epoch': list(train_results.epoch),
-        'history': {k: [float(x) for x in v] for k, v in train_results.history.items()},
-        'params': train_results.params,
-        'model': train_results.model_name,
-    }
-
-    if format_ == 'pickle':
-        with open(path, 'wb') as f:
-            pickle.dump(dump_content, f)
-    elif format_ == 'yaml':
-        with open(path, 'w') as f:
-            yaml.safe_dump(dump_content, f)
-    else:
-        raise NotImplementedError(f'Unimplemented format {format_}')
-    return
+    Unlike ``dump_options``, the format comes from ``format_`` (not the
+    extension) and only pickle/yaml are supported — reference dump.py:52-82.
+    '''
+    fmt = format_.lower()
+    if fmt not in ('pickle', 'yaml'):
+        raise NotImplementedError(f'Unimplemented format {fmt}')
+    content = dict(
+        epoch=list(train_results.epoch),
+        history={name: list(map(float, series))
+                 for name, series in train_results.history.items()},
+        params=train_results.params,
+        model=train_results.model_name,
+    )
+    target = pathlib.Path(path)
+    mode, writer = _WRITERS[fmt]
+    target.parent.mkdir(parents=True, exist_ok=True)
+    with open(target, mode) as fh:
+        writer(content, fh)

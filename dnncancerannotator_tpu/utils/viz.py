@@ -43,6 +43,7 @@ class Visualizer:
         pr_nthreshold=100,
         pr_region_nthreshold=100,
         pr_IoU_threshold=0.30,
+        ignore_test=True,
         export_images=False,
         export_csv=False,
         visualize_sensitivity=False,
@@ -67,8 +68,27 @@ class Visualizer:
         self.overlay = overlay
         self.export_casewise_metrics = export_casewise_metrics
         self.casewise_metrics_container = casewise_metrics_container
-        self.writer = tboard.SummaryWriter(os.path.join(save_dir, tag))
+        self.ignore_test = ignore_test
+        self._writer = None
+        self._owned_writer = True
         self._viz_step = None
+
+    # -- writer sharing/ownership (reference callbacks.py:153-167) -------
+    @property
+    def writer(self):
+        '''Lazily opened event-file writer; owned unless one was assigned.'''
+        if self._writer is None:
+            self._writer = tboard.SummaryWriter(
+                os.path.join(self.save_dir, self.tag))
+            self._owned_writer = True
+        return self._writer
+
+    @writer.setter
+    def writer(self, writer):
+        if self._writer is not None and self._owned_writer:
+            self._writer.close()
+        self._writer = writer
+        self._owned_writer = False
 
     # ------------------------------------------------------------------
     def _build_viz_step(self, engine):
@@ -101,7 +121,24 @@ class Visualizer:
 
     # ------------------------------------------------------------------
     def on_step(self, engine, step, logs=None):
-        '''Run the full visualization pass for one checkpoint/step.'''
+        '''Run the full visualization pass for one checkpoint/step.
+
+        Skips steps off the ``freq`` cadence (reference on_epoch_end gate,
+        callbacks.py:178).
+        '''
+        if self.freq and step % self.freq != 0:
+            return
+        self._run(engine, step, logs)
+
+    def on_test(self, engine, step, logs=None):
+        '''Visualization hook for evaluation passes: no-op when
+        ``ignore_test`` (the train-time default, reference
+        callbacks.py:262-281), and not subject to ``freq``.'''
+        if self.ignore_test:
+            return
+        self._run(engine, step, logs)
+
+    def _run(self, engine, step, logs=None):
         if self._viz_step is None:
             self._viz_step = self._build_viz_step(engine)
 
@@ -283,4 +320,6 @@ class Visualizer:
         self.writer.flush()
 
     def close(self):
-        self.writer.close()
+        if self._writer is not None and self._owned_writer:
+            self._writer.close()
+            self._writer = None

@@ -100,6 +100,28 @@ def test_train_stream_balanced(dataset):
         next(it)
 
 
+def test_repeat_without_normalize(dataset):
+    '''``repeat`` cycles the whole dataset even with normalize_exams=False —
+    the reference applies .repeat() unconditionally (data.py:106-110), so an
+    in-order pass must restart rather than end the stream after one epoch.'''
+    _, cancer, healthy = dataset
+    ds = train_ds([cancer, healthy], batch_size=4, buffer_size=4,
+                  normalize_exams=False, repeat=True, device_cache=False,
+                  output_size=(32, 32), base_size=64)
+    it = ds.raw_batches(seed=0)
+    for _ in range(10):  # 40 elements >> 12 per epoch: crosses 3+ epochs
+        assert next(it).shape == ds.element_shape
+
+
+def test_no_repeat_exhausts_after_one_epoch(dataset):
+    _, cancer, healthy = dataset
+    ds = train_ds([cancer, healthy], batch_size=4, buffer_size=4,
+                  normalize_exams=False, repeat=False, device_cache=False,
+                  output_size=(32, 32), base_size=64)
+    batches = list(ds.raw_batches(seed=0))
+    assert len(batches) == 3  # 12 slices / batch 4, single pass
+
+
 def test_eval_ds_meta(dataset):
     _, cancer, healthy = dataset
     ds = eval_ds([cancer, healthy], batch_size=5, include_meta=True,
@@ -134,6 +156,50 @@ def test_augment_chain_shapes():
     feats, label = augment.to_feature_label(out, util_synth.SLICE_TYPES)
     assert feats.shape == (2, 32, 32, 5)
     assert label.shape == (2, 32, 32)
+
+
+def test_crop_select_and_gather_paths_agree():
+    '''Both crop strategies must produce identical pixels for the same key,
+    and a wide jitter window (random_crop not first, full-size input) must
+    take the gather path instead of statically unrolling H*W branches.'''
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.random.uniform(jax.random.PRNGKey(0), (4, 64, 64, 3))
+    key = jax.random.PRNGKey(7)
+    # same offsets both ways
+    off = jnp.clip((jax.random.normal(key, [4, 2]) * 4).astype(jnp.int32),
+                   -6, 6) + jnp.array([(64 - 32) // 2] * 2, jnp.int32)
+    off = jnp.clip(off, 0, 64 - 32)
+    sel = augment._crop_select(x, off, (32, 32),
+                               (16 - 6, 16 + 6), (16 - 6, 16 + 6))
+    gat = augment._crop_gather(x, off, (32, 32))
+    np.testing.assert_array_equal(np.asarray(sel), np.asarray(gat))
+
+    # huge jitter window -> falls back to gather, still correct shape + crop
+    wide = jax.jit(lambda im, k: augment.random_crop_batch(
+        im, k, output_size=(32, 32), stddev=20, max_=50, min_=-50))
+    out = wide(x, key)
+    assert out.shape == (4, 32, 32, 3)
+    # every output is some 32x32 window of its source image
+    for i in range(4):
+        found = any(
+            np.array_equal(np.asarray(out)[i],
+                           np.asarray(x)[i, dy:dy + 32, dx:dx + 32])
+            for dy in range(33) for dx in range(33))
+        assert found, f'crop {i} is not a window of its source'
+
+
+def test_crop_second_in_chain_compiles():
+    '''random_crop placed AFTER another augmentation sees the full-size
+    image (no host pre-crop); the unroll bound must keep this compilable.'''
+    import jax
+    methods = augment.parse_augment_options(
+        {'random_flip': None, 'random_crop': None},
+        ('TRA', 'label'), output_size=(32, 32))
+    fn = jax.jit(augment.build_augment_fn(methods))
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 128, 128, 2))
+    assert fn(x, jax.random.PRNGKey(1)).shape == (2, 32, 32, 2)
 
 
 def test_contrast_preserves_label():

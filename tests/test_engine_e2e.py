@@ -55,6 +55,37 @@ def env(tmp_path_factory):
                 config=config_path)
 
 
+def test_train_host_streaming_multiple_epochs(env, tmp_path):
+    '''normalize_exams=False + device_cache=False must train past one epoch
+    (the reference repeats the train stream unconditionally,
+    data.py:106-110) — regression test for the StopIteration-after-one-epoch
+    bug on the host-streaming path.'''
+    from dnncancerannotator_tpu.runs.train import train
+
+    with open(env['config']) as f:
+        cfg = yaml.safe_load(f)
+    train_opts = cfg['data_options']['train']
+    train_opts['normalize_exams'] = False
+    train_opts['device_cache'] = False
+    # also exercise Keras-style dict optimizer resolution (engine.py:276-284
+    # parity): momentum-SGD instead of the default adam
+    cfg['deploy_options']['optimizer'] = {
+        'class_name': 'SGD', 'config': {'learning_rate': 0.01,
+                                        'momentum': 0.9}}
+    del cfg['deploy_options']['LearningRateScheduler']
+    # and the checkify-functionalized step (runtime numeric asserts)
+    cfg['deploy_options']['debug_asserts'] = True
+    config_path = str(tmp_path / 'cfg.yaml')
+    with open(config_path, 'w') as f:
+        yaml.safe_dump(cfg, f)
+
+    # 4 steps x batch 8 = 32 elements > the 12-slice dataset: crosses epochs.
+    results = train(
+        config=[config_path], save_path=str(tmp_path / 'run'),
+        data_path=env['data'], max_steps=4, save_freq=10, validate=False)
+    assert results.epoch == [1, 2, 3, 4]
+
+
 def test_train_resume_evaluate_predict(env):
     from dnncancerannotator_tpu.runs.train import train
     from dnncancerannotator_tpu.runs.evaluate import evaluate

@@ -63,4 +63,8 @@ def test_grads_match():
     g_ref = jax.grad(lambda p: loss(ref, p))(v)
     g_fast = jax.grad(lambda p: loss(fast, p))(v)
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fast)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+        a, b = np.asarray(a), np.asarray(b)
+        # Grad magnitudes here are O(100); the two paths reassociate fmas
+        # differently, so compare relative to the tensor's own scale.
+        np.testing.assert_allclose(a, b, rtol=1e-5,
+                                   atol=1e-5 * np.abs(a).max())

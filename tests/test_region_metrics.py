@@ -312,5 +312,45 @@ class TestRegionMetricsMultiThresholdShrinked(TestRegionMetricsMultiThreshold):
         ]
 
 
+class TestRegionCapacityOverflow(unittest.TestCase):
+    '''Images with more components than the static capacity must escalate,
+    not silently truncate (reference ragged semantics, metrics.py:261,300).'''
+
+    def _grid_masks(self):
+        '''100 isolated 6x6 pred blobs on a raster grid; the LAST 10 (by
+        raster order, i.e. the highest component ids) are also label
+        regions — so a capacity-64 run without escalation would miss every
+        match.'''
+        size = 200
+        y_pred = np.zeros([size, size], np.float32)
+        y_true = np.zeros([size, size], np.int64)
+        blobs = [(5 + 18 * r, 5 + 18 * c) for r in range(10)
+                 for c in range(10)]
+        for y0, x0 in blobs:
+            y_pred[y0:y0 + 6, x0:x0 + 6] = 1.0
+        for y0, x0 in blobs[-10:]:
+            y_true[y0:y0 + 6, x0:x0 + 6] = 1
+        return y_true[None], y_pred[None, ..., None]
+
+    def test_overflow_escalates_to_exact_counts(self):
+        y_true, y_pred = self._grid_masks()
+        from scipy import ndimage
+        self.assertEqual(ndimage.label(y_pred[0, ..., 0] > 0.5)[1], 100)
+
+        metric = custom_metrics.RegionBasedConfusionMatrix(
+            thresholds=0.5, IoU_threshold=0.3, max_pred_regions=64)
+        tp, fn, fp = metric.get_tp_fn_fp(y_true, y_pred)
+        self.assertEqual(int(np.squeeze(tp)), 10)
+        self.assertEqual(int(np.squeeze(fn)), 0)
+        self.assertEqual(int(np.squeeze(fp)), 90)
+
+    def test_overflow_pred_side_precision(self):
+        y_true, y_pred = self._grid_masks()
+        precision = custom_metrics.RegionBasedPrecision(
+            thresholds=0.5, IoU_threshold=0.3, max_pred_regions=64)
+        precision.update_state(y_true, y_pred)
+        self.assertAlmostEqual(float(precision.result()), 10 / 100, places=4)
+
+
 if __name__ == '__main__':
     unittest.main()
