@@ -553,28 +553,53 @@ class Engine:
 
         start_step = self.current_step
         step = self.current_step
-        while step < max_steps:
+        issued = self.current_step  # steps enqueued on the device
+        stop = False
+        # Depth-1 dispatch pipeline: issue chunk N+1 before materializing
+        # chunk N's losses, so the host->device round trip (measured ~28 ms
+        # through the relayed backend) overlaps with device compute of the
+        # next chunk. Chunks never cross a save_freq boundary, and a chunk
+        # ending at a boundary is drained before the next is issued, so
+        # checkpoints/validation always see exactly the boundary state.
+        pending = None
+
+        def issue_chunk():
+            nonlocal issued
+            boundary = min(max_steps, (issued // save_freq + 1) * save_freq)
+            k = min(spc, boundary - issued)
+            if resident is not None:
+                self.state, losses, probs, y = resident_step(k)(
+                    self.state, data_dev, starts_dev, counts_dev, key)
+            elif k > 1:
+                stacked = jnp.stack([next(batches) for _ in range(k)])
+                self.state, losses, probs, y = multi_step(
+                    self.state, stacked, key)
+            else:
+                self.state, losses, probs, y = train_step(
+                    self.state, next(batches), key)
+            issued += k
+            return dict(losses=losses, probs=probs, y=y, k=k,
+                        at_boundary=issued == boundary)
+
+        while step < max_steps or pending is not None:
             if profile and step >= start_step + 200 and save_path and \
                     not getattr(self, '_profiling', False):
                 jax.profiler.start_trace(
                     os.path.join(save_path, 'tfevents', 'profile'))
                 self._profiling = True
 
-            boundary = min(max_steps, (step // save_freq + 1) * save_freq)
-            k = min(spc, boundary - step)
-            if resident is not None:
-                self.state, losses, probs, y = resident_step(k)(
-                    self.state, data_dev, starts_dev, counts_dev, key)
-                losses = np.asarray(losses).tolist()
-            elif k > 1:
-                stacked = jnp.stack([next(batches) for _ in range(k)])
-                self.state, losses, probs, y = multi_step(
-                    self.state, stacked, key)
-                losses = np.asarray(losses).tolist()
-            else:
-                self.state, loss, probs, y = train_step(
-                    self.state, next(batches), key)
-                losses = [float(loss)]
+            if pending is None:
+                pending = issue_chunk()
+            chunk = pending
+            # overlap: enqueue the next chunk behind this one unless this one
+            # must be drained first (boundary bookkeeping mutates self.state
+            # via checkpoint/eval) or we're out of steps / stopping
+            pending = None
+            if not chunk['at_boundary'] and not stop and issued < max_steps:
+                pending = issue_chunk()
+
+            probs, y = chunk['probs'], chunk['y']
+            losses = np.atleast_1d(np.asarray(chunk['losses'])).tolist()
             # the loss scalar comes back to the host anyway — fail fast on
             # numeric blowup instead of training onward on garbage
             if not all(map(np.isfinite, losses)):
@@ -586,13 +611,15 @@ class Engine:
                 jax.profiler.stop_trace()
                 self._profiling = False
 
+            boundary = step + chunk['k']
             for inner_loss in losses:
                 step += 1
                 n_done += 1
                 logs = {'loss': float(inner_loss),
                         'lr': float(self.schedule(step - 1))}
-                # train metrics per step when stepping singly; at cadence
-                # points otherwise (probs/y are the scan's last inner step)
+                # train metrics per step when stepping singly; once per
+                # dispatch chunk otherwise (probs/y are the scan's last
+                # inner step — the finest granularity the device loop keeps)
                 if spc == 1 or step == boundary:
                     for metric in train_metrics:
                         metric.reset_state()
@@ -637,7 +664,9 @@ class Engine:
                 if step - best_step >= early_stop_steps:
                     logger.warning('Early stopping at step %d (best %d)',
                                    step, best_step)
-                    break
+                    stop = True
+            if stop and pending is None:
+                break
 
         self.current_step = step
         self.finalize_checkpoints()
