@@ -130,21 +130,25 @@ def _warp_points(key, n_images, n_points, size, stddev, max_diff):
 
 
 def random_warp_batch(images, key, n_points=100, max_diff=5, stddev=2.0,
-                      process_in_batch=None, method='two_pass'):
+                      process_in_batch=None, method='two_pass',
+                      flow_grid_stride=4):
     '''Warp a batch [B, H, W, C]; each image gets its own control points.
 
     ``process_in_batch`` is accepted for config parity (the reference uses it
     to batch host-side work, data.py:628-644); on TPU the whole batch is
     always processed at once. The default 'two_pass' resample avoids TPU
-    gathers (see ops.warp.dense_image_warp_twopass); pass method='exact' for
-    gather-based TFA semantics.
+    gathers (see ops.warp.dense_image_warp_twopass) and the default stride-4
+    coarse flow grid cuts the spline-evaluation matmuls 16x (sub-0.15 px
+    interpolation error at the production control-point density); pass
+    method='exact' for gather-based TFA semantics.
     '''
     del process_in_batch
     b, h, w, _ = images.shape
     src, dst = _warp_points(key, b, n_points, w, stddev, max_diff)
     return warp_ops.sparse_image_warp(
         images, src, dst, method=method,
-        max_displacement=int(np.ceil(max_diff)) + 3, clamp_flow=True)
+        max_displacement=int(np.ceil(max_diff)) + 3, clamp_flow=True,
+        flow_grid_stride=flow_grid_stride if method == 'two_pass' else 1)
 
 
 def random_intrachannelwarp_batch(images, key, n_points=100, max_diff=5,

@@ -139,12 +139,43 @@ def dense_image_warp_twopass(image, flow, max_displacement=8):
     return out
 
 
+def _interp_matrix(n_fine, stride, n_coarse):
+    '''Exact 1D bilinear-upsampling matrix [n_fine, n_coarse] for coarse
+    samples at coordinates ``i * stride`` (built host-side; static shapes).'''
+    import numpy as np
+    m = np.zeros((n_fine, n_coarse), np.float32)
+    for i in range(n_fine):
+        t = i / stride
+        i0 = int(np.floor(t))
+        f = t - i0
+        m[i, i0] += 1.0 - f
+        if f > 0.0:
+            m[i, i0 + 1] += f
+    return jnp.asarray(m)
+
+
+def _upsample_flow(flow, h, w, stride):
+    '''Bilinearly upsample a coarse flow [B, Hc, Wc, 2] to [B, h, w, 2].
+
+    Two tiny interpolation matmuls (MXU) — exact bilinear weights, no
+    jax.image.resize half-pixel-center semantics to reason about.
+    '''
+    hc, wc = flow.shape[1], flow.shape[2]
+    my = _interp_matrix(h, stride, hc)
+    mx = _interp_matrix(w, stride, wc)
+    flow = jnp.einsum('yh,bhwc->bywc', my, flow,
+                      preferred_element_type=jnp.float32)
+    return jnp.einsum('xw,bywc->byxc', mx, flow,
+                      preferred_element_type=jnp.float32)
+
+
 @functools.partial(
     jax.jit, static_argnames=('regularization', 'method', 'max_displacement',
-                              'clamp_flow'))
+                              'clamp_flow', 'flow_grid_stride'))
 def sparse_image_warp(image, source_control_points, dest_control_points,
                       regularization=0.0, method='exact',
-                      max_displacement=8, clamp_flow=False):
+                      max_displacement=8, clamp_flow=False,
+                      flow_grid_stride=1):
     '''Warp so that pixels at source control points land on dest points.
 
     Args:
@@ -160,12 +191,20 @@ def sparse_image_warp(image, source_control_points, dest_control_points,
             control displacements between near-duplicate random points;
             augmentation callers clamp so the realized warp honors the
             configured max_diff bound).
+        flow_grid_stride: evaluate the spline flow on a ``stride``-spaced
+            coarse grid and bilinearly upsample ('two_pass' only). The TPS
+            interpolant's length scale is the control-point spacing (~25 px
+            at the production 100-points/256px operating point), so a
+            stride-4 grid resolves it with sub-0.15 px interpolation error
+            while cutting the [H*W, N] kernel-matrix work 16x. 1 = dense
+            (exact) evaluation.
 
     Returns:
         warped image [B, H, W, C].
     '''
     image = image.astype(jnp.float32)
     b, h, w, _ = image.shape
+    stride = int(flow_grid_stride) if method == 'two_pass' else 1
 
     # flow(dest) must equal dest - source so that out(dest) = img(source)
     values = (dest_control_points - source_control_points).astype(jnp.float32)
@@ -177,41 +216,41 @@ def sparse_image_warp(image, source_control_points, dest_control_points,
     # fixes conditioning. Displacement *values* stay in pixels.
     scale = 1.0 / float(max(h, w))
 
+    # flow-evaluation grid (coarse when flow_grid_stride > 1; the last coarse
+    # sample may land past the image edge — the spline extrapolates smoothly)
+    hc = -(-(h - 1) // stride) + 1
+    wc = -(-(w - 1) // stride) + 1
+    gy = jax.lax.broadcasted_iota(jnp.float32, (hc, wc), 0) * stride
+    gx = jax.lax.broadcasted_iota(jnp.float32, (hc, wc), 1) * stride
+
     def flow_one(train_pts, train_vals):
-        wgt, v = _solve_spline(
-            train_pts.astype(jnp.float32) * scale, train_vals)
-        gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(-1)
-        gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(-1)
-        grid = jnp.stack([gy, gx], axis=-1) * scale  # [HW, 2]
-        return _evaluate_spline(grid, train_pts.astype(jnp.float32) * scale,
-                                wgt, v).reshape(h, w, 2)
-
-    flow = jax.vmap(flow_one)(dest_control_points, values)
-    if clamp_flow:
-        flow = jnp.clip(flow, -float(max_displacement),
-                        float(max_displacement))
-    if method == 'two_pass':
-        # First-order composition correction: the horizontal pass reads the
-        # vertically-resampled image at source column x' = qx(y, x), so the
-        # vertical pass must use the flow of the *target* column x ~
-        # x' + flow_x(y, x'). Evaluate flow_y at those shifted points (one
-        # more spline matmul); residual error is second-order (<0.1 px for
-        # the augmentation's flow magnitudes).
-        gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-        gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-
-        def corrected_fy(train_pts, train_vals, fl):
-            wgt, v = _solve_spline(
-                train_pts.astype(jnp.float32) * scale, train_vals)
+        '''One spline solve per image, shared by the base flow and the
+        two-pass composition correction.'''
+        tp = train_pts.astype(jnp.float32) * scale
+        wgt, v = _solve_spline(tp, train_vals, regularization)
+        grid = jnp.stack([gy.reshape(-1), gx.reshape(-1)], axis=-1) * scale
+        fl = _evaluate_spline(grid, tp, wgt, v).reshape(hc, wc, 2)
+        if clamp_flow:
+            fl = jnp.clip(fl, -float(max_displacement),
+                          float(max_displacement))
+        if method == 'two_pass':
+            # First-order composition correction: the horizontal pass reads
+            # the vertically-resampled image at source column x' = qx(y, x),
+            # so the vertical pass must use the flow of the *target* column
+            # x ~ x' + flow_x(y, x'). Evaluate flow_y at those shifted points
+            # (one more spline matmul); residual error is second-order
+            # (<0.1 px for the augmentation's flow magnitudes).
             qpts = jnp.stack(
                 [gy.reshape(-1), (gx + fl[..., 1]).reshape(-1)],
                 axis=-1) * scale
-            return _evaluate_spline(
-                qpts, train_pts.astype(jnp.float32) * scale,
-                wgt, v)[:, 0].reshape(h, w)
+            fy = _evaluate_spline(qpts, tp, wgt, v)[:, 0].reshape(hc, wc)
+            fl = jnp.stack([fy, fl[..., 1]], axis=-1)
+        return fl
 
-        fy_corr = jax.vmap(corrected_fy)(dest_control_points, values, flow)
-        flow = jnp.stack([fy_corr, flow[..., 1]], axis=-1)
+    flow = jax.vmap(flow_one)(dest_control_points, values)
+    if stride > 1:
+        flow = _upsample_flow(flow, h, w, stride)
+    if method == 'two_pass':
         if _pallas_resample_ok(image.shape, max_displacement):
             from .pallas.warp_kernel import dense_image_warp_twopass_pallas
             return dense_image_warp_twopass_pallas(
