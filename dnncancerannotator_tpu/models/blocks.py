@@ -25,6 +25,7 @@ from typing import Any, Callable, Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops import pooling
 from .fastconv import Conv2DFast, ConvTranspose2DFast
 
 
@@ -150,9 +151,7 @@ class Downsample(nn.Module):
             padding=self.padding, activation=self.activation, dtype=self.dtype,
             name='convchain',
         )(x, training=training)
-        pooled = nn.max_pool(
-            conv, window_shape=(self.rate, self.rate),
-            strides=(self.rate, self.rate))
+        pooled = pooling.max_pool2d(conv, self.rate)
         if self.bn:
             pooled = nn.BatchNorm(
                 use_running_average=not training,

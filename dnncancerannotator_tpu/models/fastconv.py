@@ -13,8 +13,10 @@ nn.Conv-compatible parameter names ('kernel', 'bias') so checkpoints are
 interchangeable with the plain modules.
 '''
 
+import functools
 from typing import Any, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 from jax import lax
@@ -23,26 +25,46 @@ from jax import lax
 _SMALL_CHANNEL_LIMIT = 32
 
 
-def stencil_conv2d(x, w, stride=(1, 1), padding='SAME'):
-    '''2D conv as kh*kw shifted multiply-accumulates (exact, VPU-friendly).
+def _pallas_conv_ok(xshape, wshape):
+    '''Use the fused Pallas conv on a single TPU device; fall back to the
+    XLA stencil on CPU and under multi-device SPMD (pallas_call is not
+    auto-partitioned by GSPMD). Same gating idiom as ops/warp.py.'''
+    try:
+        if jax.default_backend() == 'cpu' or jax.device_count() != 1:
+            return False
+        from ..ops.pallas.conv_kernel import supported
+        b, h, wd, _ = xshape
+        kh, kw, ci, co = wshape
+        return supported(b, h, wd, kh, kw, ci, co)
+    except Exception:
+        return False
 
-    Args:
-        x: [B, H, W, Ci]; w: [kh, kw, Ci, Co]; stride: (sy, sx).
-    '''
-    kh, kw, ci, co = w.shape
-    b, h, wd, _ = x.shape
+
+def _conv_geometry(h, w, kh, kw, stride, padding):
+    '''Resolve (pads, out_h, out_w) for SAME/VALID or explicit pad pairs.'''
     sy, sx = stride
     if isinstance(padding, str) and padding.upper() == 'SAME':
         out_h = -(-h // sy)
-        out_w = -(-wd // sx)
+        out_w = -(-w // sx)
         pad_h = max((out_h - 1) * sy + kh - h, 0)
-        pad_w = max((out_w - 1) * sx + kw - wd, 0)
+        pad_w = max((out_w - 1) * sx + kw - w, 0)
         pads = ((pad_h // 2, pad_h - pad_h // 2),
                 (pad_w // 2, pad_w - pad_w // 2))
-    else:  # VALID
+    elif isinstance(padding, str):  # VALID
         out_h = (h - kh) // sy + 1
-        out_w = (wd - kw) // sx + 1
+        out_w = (w - kw) // sx + 1
         pads = ((0, 0), (0, 0))
+    else:  # explicit ((top, bottom), (left, right))
+        pads = (tuple(padding[0]), tuple(padding[1]))
+        out_h = (h + pads[0][0] + pads[0][1] - kh) // sy + 1
+        out_w = (w + pads[1][0] + pads[1][1] - kw) // sx + 1
+    return pads, out_h, out_w
+
+
+def _stencil_conv2d_raw(x, w, stride, pads, out_h, out_w):
+    kh, kw, ci, co = w.shape
+    b = x.shape[0]
+    sy, sx = stride
     xp = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)))
     out = None
     for dy in range(kh):
@@ -55,6 +77,81 @@ def stencil_conv2d(x, w, stride=(1, 1), padding='SAME'):
                               preferred_element_type=jnp.float32)
             out = term if out is None else out + term
     return out.astype(x.dtype) if out.dtype != x.dtype else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _stencil_conv2d_s1(x, w, pads):
+    '''Stride-1 stencil conv with hand-written backward.
+
+    Autodiff of the shifted-slice forward emits pad-of-slice transposes and
+    huge-contraction einsums that XLA schedules poorly (measured ~2x the
+    forward cost beyond the theoretical FLOP ratio). Both gradients have
+    exact stencil forms that reuse the fast forward:
+
+    - d/dx: correlate the cotangent with the spatially-flipped, io-transposed
+      kernel, padded with (k-1-p) on each side (the standard conv transpose
+      identity, here expressed as another stencil conv);
+    - d/dw: per-tap contraction of the padded input window with the
+      cotangent over (batch, y, x).
+    '''
+    h, wd = x.shape[1], x.shape[2]
+    kh, kw = w.shape[0], w.shape[1]
+    out_h = h + pads[0][0] + pads[0][1] - kh + 1
+    out_w = wd + pads[1][0] + pads[1][1] - kw + 1
+    if _pallas_conv_ok(x.shape, w.shape):
+        from ..ops.pallas.conv_kernel import stencil_conv2d_pallas
+        return stencil_conv2d_pallas(x, w, pads=pads).astype(x.dtype)
+    return _stencil_conv2d_raw(x, w, (1, 1), pads, out_h, out_w)
+
+
+def _stencil_s1_fwd(x, w, pads):
+    return _stencil_conv2d_s1(x, w, pads), (x, w)
+
+
+def _stencil_s1_bwd(pads, res, g):
+    x, w = res
+    kh, kw, ci, co = w.shape
+    b, h, wd, _ = x.shape
+    oh, ow = g.shape[1], g.shape[2]
+    if _pallas_conv_ok(g.shape, w.shape):
+        from ..ops.pallas.conv_kernel import stencil_conv2d_bwd_pallas
+        dx, dw = stencil_conv2d_bwd_pallas(x, g, w, pads=pads)
+        return dx.astype(x.dtype), dw.astype(w.dtype)
+    wf = w[::-1, ::-1].transpose(0, 1, 3, 2)
+    gpads = ((kh - 1 - pads[0][0], kh - 1 - pads[0][1]),
+             (kw - 1 - pads[1][0], kw - 1 - pads[1][1]))
+    dx = _stencil_conv2d_raw(g, wf, (1, 1), gpads, h, wd).astype(x.dtype)
+    xp = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)))
+    taps = []
+    for dy in range(kh):
+        for dxx in range(kw):
+            patch = lax.slice(xp, (0, dy, dxx, 0),
+                              (b, dy + oh, dxx + ow, ci))
+            taps.append(jnp.einsum('bhwi,bhwo->io', patch, g,
+                                   preferred_element_type=jnp.float32))
+    dw = jnp.stack(taps, 0).reshape(kh, kw, ci, co).astype(w.dtype)
+    return dx, dw
+
+
+_stencil_conv2d_s1.defvjp(_stencil_s1_fwd, _stencil_s1_bwd)
+
+
+def stencil_conv2d(x, w, stride=(1, 1), padding='SAME'):
+    '''2D conv as kh*kw shifted multiply-accumulates (exact, VPU-friendly).
+
+    Args:
+        x: [B, H, W, Ci]; w: [kh, kw, Ci, Co]; stride: (sy, sx);
+        padding: 'SAME' / 'VALID' / explicit ((top, bottom), (left, right)).
+    '''
+    kh, kw = w.shape[0], w.shape[1]
+    h, wd = x.shape[1], x.shape[2]
+    stride = tuple(stride)
+    pads, out_h, out_w = _conv_geometry(h, wd, kh, kw, stride, padding)
+    if stride == (1, 1) and min(
+            pads[0][0], pads[0][1], pads[1][0], pads[1][1]) >= 0 and \
+            kh - 1 >= max(pads[0]) and kw - 1 >= max(pads[1]):
+        return _stencil_conv2d_s1(x, w, pads)
+    return _stencil_conv2d_raw(x, w, stride, pads, out_h, out_w)
 
 
 def stencil_conv_transpose2d(x, w, rate):

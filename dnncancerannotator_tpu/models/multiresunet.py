@@ -20,6 +20,8 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops import pooling
+
 
 class ConvBN(nn.Module):
     filters: int
@@ -134,19 +136,19 @@ class MultiResUnet(nn.Module):
         dt = self.dtype
 
         m1 = MultiResBlock(F, dtype=dt, name='mres1')(x, training=training)
-        p1 = nn.max_pool(m1, (2, 2), strides=(2, 2))
+        p1 = pooling.max_pool2d(m1, 2)
         m1 = ResPath(F, 4, dtype=dt, name='respath1')(m1, training=training)
 
         m2 = MultiResBlock(F * 2, dtype=dt, name='mres2')(p1, training=training)
-        p2 = nn.max_pool(m2, (2, 2), strides=(2, 2))
+        p2 = pooling.max_pool2d(m2, 2)
         m2 = ResPath(F * 2, 3, dtype=dt, name='respath2')(m2, training=training)
 
         m3 = MultiResBlock(F * 4, dtype=dt, name='mres3')(p2, training=training)
-        p3 = nn.max_pool(m3, (2, 2), strides=(2, 2))
+        p3 = pooling.max_pool2d(m3, 2)
         m3 = ResPath(F * 4, 2, dtype=dt, name='respath3')(m3, training=training)
 
         m4 = MultiResBlock(F * 8, dtype=dt, name='mres4')(p3, training=training)
-        p4 = nn.max_pool(m4, (2, 2), strides=(2, 2))
+        p4 = pooling.max_pool2d(m4, 2)
         m4 = ResPath(F * 8, 1, dtype=dt, name='respath4')(m4, training=training)
 
         m5 = MultiResBlock(F * 16, dtype=dt, name='mres5')(p4, training=training)

@@ -1,1 +1,1 @@
-from . import cca, filters, image, morphology, warp  # noqa: F401
+from . import cca, filters, image, morphology, pooling, warp  # noqa: F401

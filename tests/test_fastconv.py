@@ -68,3 +68,45 @@ def test_grads_match():
         # differently, so compare relative to the tensor's own scale.
         np.testing.assert_allclose(a, b, rtol=1e-5,
                                    atol=1e-5 * np.abs(a).max())
+
+
+@pytest.mark.parametrize('padding', ['SAME', 'VALID'])
+def test_input_grads_match(padding):
+    '''The custom VJP's input gradient equals lax-conv autodiff (the stencil
+    flip/pad identity), for both padding modes.'''
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.uniform(rng, (2, 13, 15, 4))
+    w = jax.random.normal(jax.random.PRNGKey(4), (3, 3, 4, 3)) * 0.3
+
+    def loss_fast(x):
+        return jnp.sum(FC.stencil_conv2d(x, w, padding=padding) ** 2)
+
+    def loss_ref(x):
+        out = jax.lax.conv_general_dilated(
+            x, w, (1, 1), padding.upper(),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        return jnp.sum(out ** 2)
+
+    ga = np.asarray(jax.grad(loss_fast)(x))
+    gb = np.asarray(jax.grad(loss_ref)(x))
+    np.testing.assert_allclose(ga, gb, rtol=1e-5, atol=1e-5 * np.abs(gb).max())
+
+
+def test_even_kernel_grads_match():
+    '''kernel=2 SAME has asymmetric pads (0,1); the VJP pad math must hold.'''
+    x = jax.random.uniform(jax.random.PRNGKey(5), (2, 10, 10, 3))
+    w = jax.random.normal(jax.random.PRNGKey(6), (2, 2, 3, 3)) * 0.3
+
+    def loss_fast(x, w):
+        return jnp.sum(FC.stencil_conv2d(x, w, padding='SAME') ** 2)
+
+    def loss_ref(x, w):
+        out = jax.lax.conv_general_dilated(
+            x, w, (1, 1), 'SAME', dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        return jnp.sum(out ** 2)
+
+    for argnum in (0, 1):
+        ga = np.asarray(jax.grad(loss_fast, argnum)(x, w))
+        gb = np.asarray(jax.grad(loss_ref, argnum)(x, w))
+        np.testing.assert_allclose(ga, gb, rtol=1e-5,
+                                   atol=1e-5 * np.abs(gb).max())
