@@ -111,7 +111,10 @@ class ConvChain(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        act = solve_activation(self.activation)
+        # plain relu is fused into the conv kernel; anything else (leaky,
+        # elu, Keras identifier dicts) is applied separately
+        fuse_relu = self.activation in ('relu', 'ReLU')
+        act = None if fuse_relu else solve_activation(self.activation)
         for i in range(self.n_conv):
             x = Conv2DFast(
                 features=self.filters,
@@ -119,9 +122,11 @@ class ConvChain(nn.Module):
                 strides=(self.conv_stride, self.conv_stride),
                 padding=_canon_padding(self.padding),
                 dtype=self.dtype,
+                activation='relu' if fuse_relu else None,
                 name=f'conv_{i}',
             )(x)
-            x = act(x)
+            if act is not None:
+                x = act(x)
             if self.bn:
                 x = nn.BatchNorm(
                     use_running_average=not training,

@@ -79,20 +79,21 @@ def _stencil_conv2d_raw(x, w, stride, pads, out_h, out_w):
     return out.astype(x.dtype) if out.dtype != x.dtype else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _stencil_conv2d_s1(x, w, pads):
-    '''Stride-1 stencil conv with hand-written backward.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _stencil_conv2d_s1(x, w, b, pads, relu):
+    '''Stride-1 stencil conv (+bias, +optional fused relu) with hand-written
+    backward.
 
     Autodiff of the shifted-slice forward emits pad-of-slice transposes and
     huge-contraction einsums that XLA schedules poorly (measured ~2x the
     forward cost beyond the theoretical FLOP ratio). Both gradients have
     exact stencil forms that reuse the fast forward:
 
-    - d/dx: correlate the cotangent with the spatially-flipped, io-transposed
-      kernel, padded with (k-1-p) on each side (the standard conv transpose
-      identity, here expressed as another stencil conv);
+    - d/dx: correlate the (relu-masked) cotangent with the spatially-flipped,
+      io-transposed kernel, padded with (k-1-p) on each side (the standard
+      conv transpose identity, here expressed as another stencil conv);
     - d/dw: per-tap contraction of the padded input window with the
-      cotangent over (batch, y, x).
+      cotangent over (batch, y, x); d/db: per-channel cotangent sums.
     '''
     h, wd = x.shape[1], x.shape[2]
     kh, kw = w.shape[0], w.shape[1]
@@ -100,23 +101,29 @@ def _stencil_conv2d_s1(x, w, pads):
     out_w = wd + pads[1][0] + pads[1][1] - kw + 1
     if _pallas_conv_ok(x.shape, w.shape):
         from ..ops.pallas.conv_kernel import stencil_conv2d_pallas
-        return stencil_conv2d_pallas(x, w, pads=pads).astype(x.dtype)
-    return _stencil_conv2d_raw(x, w, (1, 1), pads, out_h, out_w)
+        return stencil_conv2d_pallas(
+            x, w, b, pads=pads, relu=relu).astype(x.dtype)
+    out = _stencil_conv2d_raw(x, w, (1, 1), pads, out_h, out_w)
+    out = out + b.astype(out.dtype)
+    return jnp.maximum(out, 0) if relu else out
 
 
-def _stencil_s1_fwd(x, w, pads):
-    return _stencil_conv2d_s1(x, w, pads), (x, w)
+def _stencil_s1_fwd(x, w, b, pads, relu):
+    out = _stencil_conv2d_s1(x, w, b, pads, relu)
+    return out, (x, w, out if relu else None)
 
 
-def _stencil_s1_bwd(pads, res, g):
-    x, w = res
+def _stencil_s1_bwd(pads, relu, res, g):
+    x, w, out = res
     kh, kw, ci, co = w.shape
     b, h, wd, _ = x.shape
     oh, ow = g.shape[1], g.shape[2]
+    if relu:
+        g = jnp.where(out > 0, g, 0).astype(g.dtype)
     if _pallas_conv_ok(g.shape, w.shape):
         from ..ops.pallas.conv_kernel import stencil_conv2d_bwd_pallas
-        dx, dw = stencil_conv2d_bwd_pallas(x, g, w, pads=pads)
-        return dx.astype(x.dtype), dw.astype(w.dtype)
+        dx, dw, db = stencil_conv2d_bwd_pallas(x, g, w, pads=pads)
+        return dx.astype(x.dtype), dw.astype(w.dtype), db.astype(x.dtype)
     wf = w[::-1, ::-1].transpose(0, 1, 3, 2)
     gpads = ((kh - 1 - pads[0][0], kh - 1 - pads[0][1]),
              (kw - 1 - pads[1][0], kw - 1 - pads[1][1]))
@@ -130,28 +137,40 @@ def _stencil_s1_bwd(pads, res, g):
             taps.append(jnp.einsum('bhwi,bhwo->io', patch, g,
                                    preferred_element_type=jnp.float32))
     dw = jnp.stack(taps, 0).reshape(kh, kw, ci, co).astype(w.dtype)
-    return dx, dw
+    db = jnp.sum(g, axis=(0, 1, 2), dtype=jnp.float32).astype(x.dtype)
+    return dx, dw, db
 
 
 _stencil_conv2d_s1.defvjp(_stencil_s1_fwd, _stencil_s1_bwd)
 
 
-def stencil_conv2d(x, w, stride=(1, 1), padding='SAME'):
+def _s1_eligible(stride, pads, kh, kw):
+    return stride == (1, 1) and min(
+        pads[0][0], pads[0][1], pads[1][0], pads[1][1]) >= 0 and \
+        kh - 1 >= max(pads[0]) and kw - 1 >= max(pads[1])
+
+
+def stencil_conv2d(x, w, stride=(1, 1), padding='SAME', bias=None,
+                   relu=False):
     '''2D conv as kh*kw shifted multiply-accumulates (exact, VPU-friendly).
 
     Args:
         x: [B, H, W, Ci]; w: [kh, kw, Ci, Co]; stride: (sy, sx);
-        padding: 'SAME' / 'VALID' / explicit ((top, bottom), (left, right)).
+        padding: 'SAME' / 'VALID' / explicit ((top, bottom), (left, right));
+        bias: optional [Co]; relu: fuse a relu into the conv.
     '''
     kh, kw = w.shape[0], w.shape[1]
     h, wd = x.shape[1], x.shape[2]
     stride = tuple(stride)
     pads, out_h, out_w = _conv_geometry(h, wd, kh, kw, stride, padding)
-    if stride == (1, 1) and min(
-            pads[0][0], pads[0][1], pads[1][0], pads[1][1]) >= 0 and \
-            kh - 1 >= max(pads[0]) and kw - 1 >= max(pads[1]):
-        return _stencil_conv2d_s1(x, w, pads)
-    return _stencil_conv2d_raw(x, w, stride, pads, out_h, out_w)
+    if _s1_eligible(stride, pads, kh, kw):
+        b_arr = (jnp.zeros((w.shape[3],), x.dtype) if bias is None
+                 else bias.astype(x.dtype))
+        return _stencil_conv2d_s1(x, w, b_arr, pads, bool(relu))
+    out = _stencil_conv2d_raw(x, w, stride, pads, out_h, out_w)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return jnp.maximum(out, 0) if relu else out
 
 
 def stencil_conv_transpose2d(x, w, rate):
@@ -176,13 +195,18 @@ def stencil_conv_transpose2d(x, w, rate):
 
 
 class Conv2DFast(nn.Module):
-    '''Drop-in nn.Conv with an automatic small-channel stencil path.'''
+    '''Drop-in nn.Conv with an automatic small-channel stencil path.
+
+    ``activation='relu'`` applies (and, on the Pallas path, fuses) a relu
+    after bias — callers that pass it must not re-apply the activation.
+    '''
     features: int
     kernel_size: Tuple[int, int]
     strides: Tuple[int, int] = (1, 1)
     padding: Any = 'SAME'
     use_bias: bool = True
     dtype: Optional[Any] = None
+    activation: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
@@ -197,20 +221,22 @@ class Conv2DFast(nn.Module):
         dtype = self.dtype or x.dtype
         x = x.astype(dtype)
         kernel = kernel.astype(dtype)
+        relu = self.activation == 'relu'
+        assert self.activation in (None, 'relu'), self.activation
         small = (ci <= _SMALL_CHANNEL_LIMIT
                  and self.features <= _SMALL_CHANNEL_LIMIT
                  and isinstance(self.padding, str))
         if small:
-            out = stencil_conv2d(x, kernel, self.strides, self.padding)
-        else:
-            out = lax.conv_general_dilated(
-                x, kernel, self.strides,
-                self.padding.upper() if isinstance(self.padding, str)
-                else self.padding,
-                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+            return stencil_conv2d(x, kernel, self.strides, self.padding,
+                                  bias=bias, relu=relu)
+        out = lax.conv_general_dilated(
+            x, kernel, self.strides,
+            self.padding.upper() if isinstance(self.padding, str)
+            else self.padding,
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
         if bias is not None:
             out = out + bias.astype(out.dtype)
-        return out
+        return jnp.maximum(out, 0) if relu else out
 
 
 class ConvTranspose2DFast(nn.Module):

@@ -32,15 +32,17 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_LIMIT_BYTES = 12 * 1024 * 1024
 
 
-def _kernel(w_ref, x_ref, out_ref, sh_ref, *, kh, kw, ci, co, out_h, out_w):
-    '''One batch image: out[0, o] = sum_{i, dy, dx} shift(x[0, i]) * w.
+def _kernel(w_ref, b_ref, x_ref, out_ref, sh_ref, *, kh, kw, ci, co,
+            out_h, out_w, relu):
+    '''One batch image: out[0, o] = sum_{i, dy, dx} shift(x[0, i]) * w
+    (+ bias, optional fused relu).
 
     Accumulates in-place into the output block through a single lane-shift
     scratch — value-style accumulation unrolls into hundreds of live
     [out_h, out_w] SSA temporaries that overflow Mosaic's VMEM stack.
     '''
     for o in range(co):
-        out_ref[0, o] = jnp.zeros((out_h, out_w), jnp.float32)
+        out_ref[0, o] = jnp.full((out_h, out_w), b_ref[o], jnp.float32)
     for i in range(ci):
         for dx in range(kw):
             sh_ref[:] = x_ref[0, i, :, dx:dx + out_w]
@@ -49,6 +51,9 @@ def _kernel(w_ref, x_ref, out_ref, sh_ref, *, kh, kw, ci, co, out_h, out_w):
                 for o in range(co):
                     out_ref[0, o] = out_ref[0, o] + window * w_ref[
                         ((dy * kw + dx) * ci + i) * co + o]
+    if relu:
+        for o in range(co):
+            out_ref[0, o] = jnp.maximum(out_ref[0, o], 0.0)
 
 
 def supported(b, h, w, kh, kw, ci, co):
@@ -59,10 +64,13 @@ def supported(b, h, w, kh, kw, ci, co):
     return per_program < _VMEM_LIMIT_BYTES
 
 
-@functools.partial(jax.jit, static_argnames=('pads', 'interpret'))
-def stencil_conv2d_pallas(x, w, pads=((1, 1), (1, 1)), interpret=False):
-    '''Fused stride-1 conv of NHWC ``x`` [B, H, W, Ci] with ``w``
-    [kh, kw, Ci, Co] under explicit spatial ``pads``; returns NHWC f32.'''
+@functools.partial(jax.jit,
+                   static_argnames=('pads', 'relu', 'interpret'))
+def stencil_conv2d_pallas(x, w, bias=None, pads=((1, 1), (1, 1)),
+                          relu=False, interpret=False):
+    '''Fused stride-1 conv (+bias, +optional relu) of NHWC ``x``
+    [B, H, W, Ci] with ``w`` [kh, kw, Ci, Co] under explicit spatial
+    ``pads``; returns NHWC f32.'''
     b, h, wd, ci = x.shape
     kh, kw, _, co = w.shape
     out_h = h + pads[0][0] + pads[0][1] - kh + 1
@@ -71,11 +79,14 @@ def stencil_conv2d_pallas(x, w, pads=((1, 1), (1, 1)), interpret=False):
                  ((0, 0), pads[0], pads[1], (0, 0)))
     xp = jnp.transpose(xp, (0, 3, 1, 2))  # [B, Ci, H+ph, W+pw]
     wvec = w.astype(jnp.float32).reshape(-1)
+    bvec = (jnp.zeros((co,), jnp.float32) if bias is None
+            else bias.astype(jnp.float32))
     out = pl.pallas_call(
         functools.partial(_kernel, kh=kh, kw=kw, ci=ci, co=co,
-                          out_h=out_h, out_w=out_w),
+                          out_h=out_h, out_w=out_w, relu=relu),
         grid=(b,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, ci, out_h + kh - 1, out_w + kw - 1),
                          lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -87,7 +98,7 @@ def stencil_conv2d_pallas(x, w, pads=((1, 1), (1, 1)), interpret=False):
             pltpu.VMEM((out_h + kh - 1, out_w), jnp.float32),
         ],
         interpret=interpret,
-    )(wvec, xp)
+    )(wvec, bvec, xp)
     return jnp.transpose(out, (0, 2, 3, 1))
 
 
@@ -127,11 +138,18 @@ def _bwd_kernel(w_ref, xp_ref, gp_ref, g_ref, dx_ref, dw_ref,
                     prev = jnp.where(first, 0.0, dw_ref[idx])
                     dw_ref[idx] = prev + s
 
+    # bias gradient: per-channel cotangent sums, appended after the dw taps
+    for o in range(co):
+        s = jnp.sum(g_ref[0, o])
+        idx = kh * kw * ci * co + o
+        prev = jnp.where(first, 0.0, dw_ref[idx])
+        dw_ref[idx] = prev + s
+
 
 @functools.partial(jax.jit, static_argnames=('pads', 'interpret'))
 def stencil_conv2d_bwd_pallas(x, g, w, pads=((1, 1), (1, 1)),
                               interpret=False):
-    '''Fused backward of the stride-1 stencil conv: returns (dx, dw).
+    '''Fused backward of the stride-1 stencil conv: returns (dx, dw, db).
 
     Args:
         x: forward input [B, H, W, Ci] (NHWC); g: cotangent [B, oh, ow, Co];
@@ -172,7 +190,7 @@ def stencil_conv2d_bwd_pallas(x, g, w, pads=((1, 1), (1, 1)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, ci, h, wd), jnp.float32),
-            jax.ShapeDtypeStruct((kh * kw * ci * co,), jnp.float32),
+            jax.ShapeDtypeStruct((kh * kw * ci * co + co,), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((h + kh - 1, wd), jnp.float32),
@@ -181,4 +199,5 @@ def stencil_conv2d_bwd_pallas(x, g, w, pads=((1, 1), (1, 1)),
         interpret=interpret,
     )(wvec, xp, gp, gc)
     return (jnp.transpose(dx, (0, 2, 3, 1)),
-            dw.reshape(kh, kw, ci, co))
+            dw[:kh * kw * ci * co].reshape(kh, kw, ci, co),
+            dw[kh * kw * ci * co:])
