@@ -343,8 +343,10 @@ def eval_ds(path, batch_size, slice_types=DEFAULT_SLICE_TYPES,
         include_meta=include_meta, output_size=output_size)
 
 
-def predict_ds(path, slice_types=DEFAULT_SLICE_TYPES, output_size=(512, 512)):
-    '''Prediction dataset: batch-1 eval elements (reference data.py:147-154;
-    the reference leaves the predict CLI a stub — here it is wired up).'''
-    return EvalDataset(path, batch_size=1, slice_types=slice_types,
+def predict_ds(path, slice_types=DEFAULT_SLICE_TYPES, output_size=(512, 512),
+               batch_size=1):
+    '''Prediction dataset: eval elements with metadata (reference
+    data.py:147-154; the reference leaves the predict CLI a stub — here it
+    is wired up).'''
+    return EvalDataset(path, batch_size=batch_size, slice_types=slice_types,
                        include_meta=True, output_size=output_size)

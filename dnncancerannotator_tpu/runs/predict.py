@@ -24,6 +24,8 @@ def predict(
     output_path,
     config=None,
     threshold=None,
+    batch_size=1,
+    output_format='png',
 ):
     '''
     Predict segmentation maps with the latest checkpoint.
@@ -34,7 +36,12 @@ def predict(
         output_path: directory for predicted segmentation PNGs
         config (list[str]): extra configuration overlays
         threshold (float): optional binarization threshold for the output
+        batch_size (int): slices per forward pass
+        output_format (str): 'png' (8-bit grayscale probability map),
+            'npy' (raw float32 probabilities), or 'png16' (16-bit PNG,
+            probability scaled to [0, 65535])
     '''
+    assert output_format in ('png', 'npy', 'png16'), output_format
     saved_config = os.path.join(save_path, 'options.yaml')
     saved_config = config_lib.load_config(saved_config)['config']
     if config:
@@ -46,7 +53,8 @@ def predict(
         slice_types=saved_config['data_options']['eval'].get(
             'slice_types', data_lib.records.DEFAULT_SLICE_TYPES),
         output_size=saved_config['data_options']['eval'].get(
-            'output_size', (512, 512)))
+            'output_size', (512, 512)),
+        batch_size=batch_size)
 
     model = engine_lib.Engine(saved_config)
     model.build(ds.feature_shape)
@@ -64,16 +72,24 @@ def predict(
         raw_dev, _ = mesh_lib.shard_batch(model.mesh, batch['slices'])
         _, probs, _ = eval_step(model.state, raw_dev)
         probs = np.asarray(probs)
+        ext = 'npy' if output_format == 'npy' else 'png'
         for i, meta in enumerate(batch['meta']):
             pred = probs[i, :, :, 0]
             if threshold is not None:
                 pred = (pred > threshold).astype(np.float32)
             parts = meta['path'].split('/')[-3:]
             out = os.path.join(
-                output_path, *parts, f"{meta['sliceID']:02d}.png")
+                output_path, *parts, f"{meta['sliceID']:02d}.{ext}")
             os.makedirs(os.path.dirname(out), exist_ok=True)
-            with open(out, 'wb') as f:
-                f.write(tboard.encode_png(pred))
+            if output_format == 'npy':
+                np.save(out, pred.astype(np.float32))
+            elif output_format == 'png16':
+                with open(out, 'wb') as f:
+                    f.write(tboard.encode_png(
+                        np.clip(pred, 0, 1) * 65535, bitdepth=16))
+            else:
+                with open(out, 'wb') as f:
+                    f.write(tboard.encode_png(pred))
             count += 1
     logger.info('Wrote %d predictions to %s', count, output_path)
     return count

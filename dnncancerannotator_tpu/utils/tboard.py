@@ -101,18 +101,29 @@ def _encode_event(step=None, summary_values=None, file_version=None):
     return bytes(out)
 
 
-def encode_png(array):
-    '''Encode [H, W] or [H, W, C] uint8/float array to PNG bytes.'''
+def encode_png(array, bitdepth=8):
+    '''Encode [H, W] or [H, W, C] uint8/float array to PNG bytes.
+
+    ``bitdepth=16`` writes a 16-bit grayscale PNG; the input is then taken
+    as values in [0, 65535] (floats are clipped and rounded).
+    '''
     from PIL import Image
     import io
     array = np.asarray(array)
-    if array.dtype != np.uint8:
-        array = np.clip(array * 255.0, 0, 255).astype(np.uint8)
-    if array.ndim == 3 and array.shape[-1] == 1:
-        array = array[..., 0]
-    mode = 'L' if array.ndim == 2 else 'RGB'
+    if bitdepth == 16:
+        if array.ndim == 3 and array.shape[-1] == 1:
+            array = array[..., 0]
+        assert array.ndim == 2, array.shape
+        array = np.clip(array, 0, 65535).astype(np.uint16)
+        img = Image.fromarray(array, mode='I;16')
+    else:
+        if array.dtype != np.uint8:
+            array = np.clip(array * 255.0, 0, 255).astype(np.uint8)
+        if array.ndim == 3 and array.shape[-1] == 1:
+            array = array[..., 0]
+        img = Image.fromarray(array, mode='L' if array.ndim == 2 else 'RGB')
     buf = io.BytesIO()
-    Image.fromarray(array, mode=mode).save(buf, format='PNG')
+    img.save(buf, format='PNG')
     return buf.getvalue()
 
 

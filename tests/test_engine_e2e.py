@@ -1,6 +1,7 @@
 '''End-to-end: train -> auto-resume -> evaluate-every-checkpoint -> predict,
 through the run drivers on a synthetic TFRecord dataset.'''
 
+import glob
 import os
 import pickle
 
@@ -151,5 +152,42 @@ def test_train_resume_evaluate_predict(env):
     n = predict(save_path=save_path, data_path=env['data'],
                 output_path=os.path.join(env['tmpdir'], 'preds'))
     assert n == 12
+
+    # ---- batched prediction with raw probability export: same maps
+    import numpy as np
+    n = predict(save_path=save_path, data_path=env['data'],
+                output_path=os.path.join(env['tmpdir'], 'preds_npy'),
+                batch_size=4, output_format='npy')
+    assert n == 12
+    npys = sorted(glob.glob(
+        os.path.join(env['tmpdir'], 'preds_npy', '**', '*.npy'),
+        recursive=True))
+    pngs = sorted(glob.glob(
+        os.path.join(env['tmpdir'], 'preds', '**', '*.png'), recursive=True))
+    assert len(npys) == 12
+    from PIL import Image
+    for npy_path, png_path in zip(npys, pngs):
+        probs = np.load(npy_path)
+        assert probs.dtype == np.float32 and (probs >= 0).all() \
+            and (probs <= 1).all()
+        quantized = np.clip(probs * 255.0, 0, 255).astype(np.uint8)
+        # batch-4 vs batch-1 forward may differ by float-fusion noise, which
+        # can flip values sitting exactly on a quantization bin edge
+        np.testing.assert_allclose(
+            quantized.astype(np.int32),
+            np.asarray(Image.open(png_path)).astype(np.int32), atol=1)
+
+    # ---- 16-bit probability PNGs round-trip at 1/65535 resolution
+    n = predict(save_path=save_path, data_path=env['data'],
+                output_path=os.path.join(env['tmpdir'], 'preds16'),
+                batch_size=4, output_format='png16')
+    assert n == 12
+    p16 = sorted(glob.glob(
+        os.path.join(env['tmpdir'], 'preds16', '**', '*.png'),
+        recursive=True))
+    arr16 = np.asarray(Image.open(p16[0]))
+    assert arr16.dtype == np.int32 or arr16.dtype == np.uint16
+    np.testing.assert_allclose(
+        arr16 / 65535.0, np.load(npys[0]), atol=1.0 / 65535)
 
 
