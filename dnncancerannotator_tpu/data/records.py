@@ -174,10 +174,90 @@ def generate_tfrecords(
     return written
 
 
+_EXAM_DECODER_READY = None
+
+
+def _exam_decoder():
+    '''The C++ exam decoder entry point (native/exam_decoder.cc), or None.'''
+    global _EXAM_DECODER_READY
+    if _EXAM_DECODER_READY is None:
+        import ctypes
+        lib = tfr._native_lib()
+        if lib and hasattr(lib, 'exam_decode'):
+            lib.exam_decode.restype = ctypes.c_int64
+            lib.exam_decode.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,                 # rec, len
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,  # chan_idx
+                ctypes.c_int64, ctypes.c_int64,                  # crop h, w
+                ctypes.c_void_p, ctypes.c_int64,                 # out, cap
+                ctypes.POINTER(ctypes.c_int64),                  # shape[4]
+                ctypes.POINTER(ctypes.c_int64),                  # ids[2]
+                ctypes.c_char_p, ctypes.c_int64,                 # path
+                ctypes.c_char_p, ctypes.c_int64,                 # category
+                ctypes.c_char_p, ctypes.c_int64,                 # slice_types
+            ]
+            _EXAM_DECODER_READY = lib
+        else:
+            _EXAM_DECODER_READY = False
+    return _EXAM_DECODER_READY or None
+
+
+def _parse_example_exam_native(buf, output_slice_types=None):
+    '''One-pass C++ decode + channel gather; None when unavailable or the
+    record doesn't fit the fast path (then the Python codec handles it).'''
+    import ctypes
+    lib = _exam_decoder()
+    if lib is None:
+        return None
+    shape = (ctypes.c_int64 * 4)()
+    ids = (ctypes.c_int64 * 2)()
+    path = ctypes.create_string_buffer(1024)
+    cat = ctypes.create_string_buffer(64)
+    types = ctypes.create_string_buffer(512)
+    rc = lib.exam_decode(buf, len(buf), None, 0, -1, -1, None, 0,
+                         shape, ids, path, 1024, cat, 64, types, 512)
+    if rc != 0:
+        return None
+    slice_types = types.value.decode().split(',')
+    if output_slice_types is not None and \
+            list(output_slice_types) != slice_types:
+        try:
+            idx = [slice_types.index(t) for t in output_slice_types]
+        except ValueError:
+            return None
+        slice_types = list(output_slice_types)
+        cidx = (ctypes.c_int64 * len(idx))(*idx)
+        n_chan = len(idx)
+    else:
+        cidx, n_chan = None, int(shape[3])
+    out = np.empty((shape[0], shape[1], shape[2], n_chan), np.uint8)
+    rc = lib.exam_decode(
+        buf, len(buf), cidx, n_chan if cidx is not None else 0, -1, -1,
+        out.ctypes.data_as(ctypes.c_void_p), out.size,
+        shape, ids, path, 1024, cat, 64, types, 512)
+    if rc != 0:
+        return None
+    return dict(
+        slices=out,
+        patientID=int(ids[0]),
+        examID=int(ids[1]),
+        path=path.value.decode(),
+        category=cat.value.decode(),
+        slice_types=slice_types,
+    )
+
+
 def parse_example_exam(buf, output_slice_types=None):
     '''Decode a serialized Example into an exam dict, optionally gathering a
     channel subset in ``output_slice_types`` order (reference data.py:473-487).
+
+    Uses the native one-pass decoder (native/exam_decoder.cc) when the
+    library is available; the pure-Python codec below is the behavioral
+    reference and fallback.
     '''
+    native = _parse_example_exam_native(buf, output_slice_types)
+    if native is not None:
+        return native
     d = tfr.decode_example(buf)
     shape = d['shape']
     slices = tfr.parse_tensor(d['slices'][0]).reshape(shape)
