@@ -555,6 +555,19 @@ class Engine:
         step = self.current_step
         issued = self.current_step  # steps enqueued on the device
         stop = False
+        # Preemption safety: on SIGTERM (the cloud-TPU eviction signal),
+        # finish the in-flight chunk, checkpoint the exact current state and
+        # return — auto-resume (self.load via the step-dir scan) continues
+        # from here on the next invocation. The reference has no analog
+        # (Keras fit dies and loses everything since the last save_freq).
+        import signal as signal_mod
+        preempted = []
+        old_handler = None
+        try:
+            old_handler = signal_mod.signal(
+                signal_mod.SIGTERM, lambda *_: preempted.append(True))
+        except ValueError:  # not the main thread; rely on save_freq alone
+            pass
         # Depth-1 dispatch pipeline: issue chunk N+1 before materializing
         # chunk N's losses, so the host->device round trip (measured ~28 ms
         # through the relayed backend) overlaps with device compute of the
@@ -582,6 +595,8 @@ class Engine:
                         at_boundary=issued == boundary)
 
         while step < max_steps or pending is not None:
+            if preempted:
+                stop = True
             if profile and step >= start_step + 200 and save_path and \
                     not getattr(self, '_profiling', False):
                 jax.profiler.start_trace(
@@ -668,7 +683,13 @@ class Engine:
             if stop and pending is None:
                 break
 
+        if old_handler is not None:
+            signal_mod.signal(signal_mod.SIGTERM, old_handler)
         self.current_step = step
+        if preempted and ckpt_dir and step % save_freq != 0:
+            logger.warning(
+                'Preempted (SIGTERM) at step %d: saving checkpoint', step)
+            self.save_ckpt(ckpt_dir, step)
         self.finalize_checkpoints()
         if progress is not None:
             progress.close()
