@@ -66,12 +66,19 @@ class _DirExamSource:
         self._exam = None
 
     def iter_exams(self):
+        yield self.exam(0)
+
+    def __len__(self):
+        return 1
+
+    def exam(self, i):
+        assert i == 0, i
         if self._exam is None:
             exam = records.prepare_combined_slices(
                 self.exam_dir, slice_types=self.slice_types)
             exam['slice_types'] = list(self.slice_types)
             self._exam = exam
-        yield self._exam
+        return self._exam
 
 
 def _sources(paths, slice_types):
@@ -148,7 +155,9 @@ class TrainDataset:
     def __init__(self, path, batch_size, buffer_size, repeat=True,
                  slice_types=DEFAULT_SLICE_TYPES, normalize_exams=True,
                  output_size=(256, 256), augment_options=None, base_size=512,
-                 seed=0, device_cache=True):
+                 seed=0, device_cache=True, loader='native',
+                 grain_workers=0):
+        assert loader in ('native', 'grain'), loader
         self.slice_types = tuple(slice_types)
         self.batch_size = batch_size
         self.buffer_size = buffer_size
@@ -158,6 +167,8 @@ class TrainDataset:
         self.base_size = (base_size, base_size)
         self.seed = seed
         self.device_cache = device_cache
+        self.loader = loader
+        self.grain_workers = grain_workers
         self.paths = path
         self.augment_methods = augment_mod.parse_augment_options(
             augment_options, self.slice_types, self.output_size)
@@ -201,7 +212,7 @@ class TrainDataset:
         (equal-probability sampling across sources reproduces
         ``normalize_exams`` semantics, reference data.py:515-525).
         '''
-        if not self.device_cache:
+        if not self.device_cache or self.loader == 'grain':
             return None
         sources = _sources(self.paths, self.slice_types)
         chunks = []
@@ -246,8 +257,68 @@ class TrainDataset:
             if not self.repeat:
                 return
 
+    def _grain_batches(self, seed) -> Iterator[np.ndarray]:
+        '''grain-backed host loader (``data_options.train.loader: grain``).
+
+        Random-access slice-level source over the TFRecord readers, grain's
+        global shuffle + multiprocess workers, batched to the same raw uint8
+        [B, hc, wc, C] elements as the native loader. ``normalize_exams`` is
+        approximated per epoch by repeating smaller sources' indices up to
+        the largest source (exact equal-probability sampling with
+        replacement stays on the native/resident paths).
+        '''
+        import grain.python as gp
+
+        sources = _sources(self.paths, self.slice_types)
+        host_crop = self.host_crop
+        per_source = []
+        for si, source in enumerate(sources):
+            items = []
+            for ei in range(len(source)):
+                n = source.exam(ei)['slices'].shape[0]
+                items.extend((si, ei, sj) for sj in range(n))
+            per_source.append(items)
+        index = []
+        if self.normalize_exams and len(per_source) > 1:
+            target = max(len(it) for it in per_source)
+            for items in per_source:
+                reps = -(-target // len(items))
+                index.extend((items * reps)[:target])
+        else:
+            for items in per_source:
+                index.extend(items)
+
+        class _Source:
+            def __len__(self):
+                return len(index)
+
+            def __getitem__(self, i):
+                si, ei, sj = index[i]
+                img = sources[si].exam(ei)['slices'][sj]
+                return _center_crop_or_pad(img, *host_crop)
+
+        sampler = gp.IndexSampler(
+            num_records=len(index),
+            shuffle=True,
+            seed=int(seed),
+            shard_options=gp.NoSharding(),
+            num_epochs=None if self.repeat else 1,
+        )
+        loader = gp.DataLoader(
+            data_source=_Source(),
+            sampler=sampler,
+            operations=[gp.Batch(self.batch_size, drop_remainder=True)],
+            worker_count=self.grain_workers,
+        )
+        for batch in loader:
+            yield np.ascontiguousarray(batch)
+
     def raw_batches(self, seed=None) -> Iterator[np.ndarray]:
         '''Infinite (if repeat) stream of raw uint8 batches.'''
+        if self.loader == 'grain':
+            yield from self._grain_batches(
+                self.seed if seed is None else seed)
+            return
         rng = np.random.default_rng(self.seed if seed is None else seed)
         stream = (img for img, _meta in self._elements())
         stream = _shuffle(stream, self.buffer_size, rng)
