@@ -91,24 +91,28 @@ def measure_tpu():
               log_every=1 << 30)  # compile + warmup
 
     # differential timing: train() calls differing only in step count — the
-    # per-call fixed setup (dataset load, device_put) cancels exactly. Two
-    # long measurements, best taken (relay-induced stalls only ever slow a
-    # run down).
+    # per-call fixed setup (dataset load, device_put) cancels exactly. Both
+    # the short and long measurements repeat and take their MIN: relay
+    # stalls only ever slow a call down, and an inflated *short* time would
+    # otherwise shrink the denominator and overstate the rate.
     short, long = STEPS // 4, STEPS
-    t0 = time.perf_counter()
-    eng.train(ds, max_steps=WARMUP + short, save_freq=1 << 30,
-              auto_resume=False, log_every=1 << 30)
-    t_short = time.perf_counter() - t0
-    rates = []
-    total = WARMUP + short
-    for _ in range(2):
+    total = WARMUP
+    t_shorts, t_longs = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        eng.train(ds, max_steps=total + short, save_freq=1 << 30,
+                  auto_resume=False, log_every=1 << 30)
+        t_shorts.append(time.perf_counter() - t0)
+        total += short
+    for _ in range(3):
         t0 = time.perf_counter()
         results = eng.train(ds, max_steps=total + long, save_freq=1 << 30,
                             auto_resume=False, log_every=1 << 30)
-        t_long = time.perf_counter() - t0
+        t_longs.append(time.perf_counter() - t0)
         total += long
-        rates.append((long - short) * BATCH / max(t_long - t_short, 1e-6))
-    return max(rates), results.history['loss'][-1]
+    print(f'bench raw: shorts={t_shorts} longs={t_longs}', file=sys.stderr)
+    rate = (long - short) * BATCH / max(min(t_longs) - min(t_shorts), 1e-6)
+    return rate, results.history['loss'][-1]
 
 
 def measure_tf_cpu_baseline():

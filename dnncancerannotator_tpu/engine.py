@@ -282,6 +282,15 @@ class Engine:
         return self
 
     # -- compiled steps ----------------------------------------------------
+    def _cached_step(self, key, builder):
+        '''Memoize jitted step functions across train()/evaluate() calls.'''
+        cache = getattr(self, '_step_cache', None)
+        if cache is None:
+            cache = self._step_cache = {}
+        if key not in cache:
+            cache[key] = builder()
+        return cache[key]
+
     def _make_train_step(self, dataset, multi_step=False):
         '''Build the jitted train step.
 
@@ -488,10 +497,21 @@ class Engine:
         visualization = visualization or {}
         spc = steps_per_call or self.steps_per_call
 
-        train_step = self._make_train_step(dataset)
-        multi_step = (self._make_train_step(dataset, multi_step=True)
-                      if spc > 1 else None)
-        eval_step = self._make_eval_step(dataset.slice_types)
+        # jitted steps are cached across train() calls (keyed by everything
+        # that shapes the traced computation) — without this every call pays
+        # a full retrace+compile (~10 s through the relayed compiler)
+        step_key = (repr(dataset.augment_methods),
+                    tuple(dataset.slice_types),
+                    tuple(dataset.feature_shape), self.debug_asserts)
+        train_step = self._cached_step(
+            ('single',) + step_key, lambda: self._make_train_step(dataset))
+        multi_step = (self._cached_step(
+            ('multi',) + step_key,
+            lambda: self._make_train_step(dataset, multi_step=True))
+            if spc > 1 else None)
+        eval_step = self._cached_step(
+            ('eval', tuple(dataset.slice_types)),
+            lambda: self._make_eval_step(dataset.slice_types))
         train_metrics = self._build_metrics()
 
         writer = None
@@ -510,23 +530,31 @@ class Engine:
         key = jax.random.PRNGKey(self.seed + 1)
 
         # device-resident input path: dataset tensor in HBM, batches gathered
-        # on device (falls back to host streaming when over budget)
-        resident = None
-        if hasattr(dataset, 'load_resident'):
+        # on device (falls back to host streaming when over budget). The
+        # decoded arrays and their device copies are cached on the dataset
+        # so repeated train() calls don't re-decode / re-upload.
+        resident = getattr(dataset, '_resident_cache', None)
+        if resident is None and hasattr(dataset, 'load_resident'):
             resident = dataset.load_resident()
+            dataset._resident_cache = resident if resident is not None \
+                else False
+        if resident is False:
+            resident = None
         if resident is not None:
-            data_dev = jax.device_put(resident['data'], self._rep)
-            starts_dev = jax.device_put(resident['starts'], self._rep)
-            counts_dev = jax.device_put(resident['counts'], self._rep)
+            if '_dev' not in resident:
+                resident['_dev'] = (
+                    jax.device_put(resident['data'], self._rep),
+                    jax.device_put(resident['starts'], self._rep),
+                    jax.device_put(resident['counts'], self._rep))
+            data_dev, starts_dev, counts_dev = resident['_dev']
             n_sources = len(resident['starts'])
             balanced = resident['balanced']
-            resident_steps = {}
 
             def resident_step(k):
-                if k not in resident_steps:
-                    resident_steps[k] = self._make_resident_train_step(
-                        dataset, n_sources, balanced, k)
-                return resident_steps[k]
+                return self._cached_step(
+                    ('resident',) + step_key + (n_sources, balanced, k),
+                    lambda: self._make_resident_train_step(
+                        dataset, n_sources, balanced, k))
 
             batches = None
             logger.info(

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import pooling
+from . import fastconv
 from .fastconv import Conv2DFast, ConvTranspose2DFast
 
 
@@ -82,15 +83,19 @@ def _canon_padding(padding: str) -> str:
     return padding
 
 
-def center_crop_to(x: jnp.ndarray, target_h: int, target_w: int) -> jnp.ndarray:
-    '''Center-crop an NHWC tensor spatially to (target_h, target_w).
+def center_crop_to(x: jnp.ndarray, target_h: int, target_w: int,
+                   data_format: str = 'NHWC') -> jnp.ndarray:
+    '''Center-crop a batched image tensor spatially to (target_h, target_w).
 
     Mirrors the skip-alignment crop at reference components.py:162-163.
     Shapes are static under jit so this lowers to a static slice.
     '''
-    h, w = x.shape[1], x.shape[2]
+    ay, ax = (2, 3) if data_format == 'NCHW' else (1, 2)
+    h, w = x.shape[ay], x.shape[ax]
     top = (h - target_h) // 2
     left = (w - target_w) // 2
+    if data_format == 'NCHW':
+        return x[:, :, top:top + target_h, left:left + target_w]
     return x[:, top:top + target_h, left:left + target_w, :]
 
 
@@ -108,6 +113,7 @@ class ConvChain(nn.Module):
     padding: str = 'VALID'
     activation: Any = 'relu'
     dtype: Optional[Any] = None
+    data_format: str = 'NHWC'
 
     @nn.compact
     def __call__(self, x, training: bool = False):
@@ -115,6 +121,29 @@ class ConvChain(nn.Module):
         # elu, Keras identifier dicts) is applied separately
         fuse_relu = self.activation in ('relu', 'ReLU')
         act = None if fuse_relu else solve_activation(self.activation)
+        assert not (self.bn and self.data_format != 'NHWC'), \
+            'BatchNorm models run NHWC (flax BN normalizes the last axis)'
+        # whole-cell fusion: both convs + relus in one Pallas kernel per
+        # direction (NCHW, SAME, no BN) — param tree identical to the
+        # unfused path below
+        if (fuse_relu and not self.bn and self.n_conv == 2
+                and self.conv_stride == 1 and self.data_format == 'NCHW'
+                and isinstance(self.padding, str)
+                and fastconv.chain_pallas_ok(
+                    x.shape, self.kernel_size, self.filters,
+                    _canon_padding(self.padding))):
+            ks = (self.kernel_size, self.kernel_size)
+            k1, b1 = fastconv._ConvParams(self.filters, ks,
+                                          name='conv_0')(x.shape[1])
+            k2, b2 = fastconv._ConvParams(self.filters, ks,
+                                          name='conv_1')(self.filters)
+            dtype = self.dtype or x.dtype
+            pads, _, _ = fastconv._conv_geometry(
+                x.shape[2], x.shape[3], self.kernel_size, self.kernel_size,
+                (1, 1), _canon_padding(self.padding))
+            return fastconv.conv_chain_nchw(
+                x.astype(dtype), k1.astype(dtype), b1.astype(dtype),
+                k2.astype(dtype), b2.astype(dtype), pads)
         for i in range(self.n_conv):
             x = Conv2DFast(
                 features=self.filters,
@@ -123,6 +152,7 @@ class ConvChain(nn.Module):
                 padding=_canon_padding(self.padding),
                 dtype=self.dtype,
                 activation='relu' if fuse_relu else None,
+                data_format=self.data_format,
                 name=f'conv_{i}',
             )(x)
             if act is not None:
@@ -147,6 +177,7 @@ class Downsample(nn.Module):
     padding: str = 'VALID'
     activation: Any = 'relu'
     dtype: Optional[Any] = None
+    data_format: str = 'NHWC'
 
     @nn.compact
     def __call__(self, x, training: bool = False):
@@ -154,9 +185,11 @@ class Downsample(nn.Module):
             filters=self.filters, kernel_size=self.kernel_size,
             conv_stride=self.conv_stride, bn=self.bn, n_conv=self.n_conv,
             padding=self.padding, activation=self.activation, dtype=self.dtype,
+            data_format=self.data_format,
             name='convchain',
         )(x, training=training)
-        pooled = pooling.max_pool2d(conv, self.rate)
+        pooled = pooling.max_pool2d(conv, self.rate,
+                                    data_format=self.data_format)
         if self.bn:
             pooled = nn.BatchNorm(
                 use_running_average=not training,
@@ -177,6 +210,7 @@ class Upsample(nn.Module):
     padding: str = 'VALID'
     activation: Any = 'relu'
     dtype: Optional[Any] = None
+    data_format: str = 'NHWC'
 
     @nn.compact
     def __call__(self, x, reference, training: bool = False):
@@ -186,6 +220,7 @@ class Upsample(nn.Module):
             strides=(self.rate, self.rate),
             padding=_canon_padding(self.padding),
             dtype=self.dtype,
+            data_format=self.data_format,
             name='tconv',
         )(x)
         if self.bn:
@@ -194,12 +229,17 @@ class Upsample(nn.Module):
                 momentum=0.99, epsilon=1e-3, dtype=self.dtype,
                 name='tconv_bn',
             )(up)
-        cropped = center_crop_to(reference, up.shape[1], up.shape[2])
-        x = jnp.concatenate([up, cropped.astype(up.dtype)], axis=-1)
+        nchw = self.data_format == 'NCHW'
+        ay, ax = (2, 3) if nchw else (1, 2)
+        cropped = center_crop_to(reference, up.shape[ay], up.shape[ax],
+                                 data_format=self.data_format)
+        x = jnp.concatenate([up, cropped.astype(up.dtype)],
+                            axis=1 if nchw else -1)
         x = ConvChain(
             filters=self.filters, kernel_size=self.kernel_size,
             conv_stride=self.conv_stride, bn=self.bn, n_conv=self.n_conv,
             padding=self.padding, activation=self.activation, dtype=self.dtype,
+            data_format=self.data_format,
             name='convchain',
         )(x, training=training)
         return x
@@ -217,6 +257,7 @@ class Encoder(nn.Module):
     padding: str = 'VALID'
     activation: Any = 'relu'
     dtype: Optional[Any] = None
+    data_format: str = 'NHWC'
 
     @nn.compact
     def __call__(self, x, training: bool = False):
@@ -227,7 +268,8 @@ class Encoder(nn.Module):
                 filters=filters, rate=self.rate, kernel_size=self.kernel_size,
                 conv_stride=self.conv_stride, bn=self.bn, n_conv=self.n_conv,
                 padding=self.padding, activation=self.activation,
-                dtype=self.dtype, name=f'down_{i}',
+                dtype=self.dtype, data_format=self.data_format,
+                name=f'down_{i}',
             )(x, training=training)
             skips.append(skip)
             filters = int(self.rate * filters)
@@ -248,14 +290,17 @@ class Decoder(nn.Module):
     padding: str = 'VALID'
     activation: Any = 'relu'
     dtype: Optional[Any] = None
+    data_format: str = 'NHWC'
 
     @nn.compact
     def __call__(self, x, skips: Sequence[jnp.ndarray], training: bool = False):
+        chan_axis = 1 if self.data_format == 'NCHW' else -1
         for i, skip in enumerate(reversed(skips)):
             x = Upsample(
-                filters=skip.shape[-1], rate=self.rate,
+                filters=skip.shape[chan_axis], rate=self.rate,
                 kernel_size=self.kernel_size, conv_stride=self.conv_stride,
                 bn=self.bn, n_conv=self.n_conv, padding=self.padding,
-                activation=self.activation, dtype=self.dtype, name=f'up_{i}',
+                activation=self.activation, dtype=self.dtype,
+                data_format=self.data_format, name=f'up_{i}',
             )(x, skip, training=training)
         return x

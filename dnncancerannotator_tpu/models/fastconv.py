@@ -25,7 +25,7 @@ from jax import lax
 _SMALL_CHANNEL_LIMIT = 32
 
 
-def _pallas_conv_ok(xshape, wshape):
+def _pallas_conv_ok(xshape, wshape, nchw=False):
     '''Use the fused Pallas conv on a single TPU device; fall back to the
     XLA stencil on CPU and under multi-device SPMD (pallas_call is not
     auto-partitioned by GSPMD). Same gating idiom as ops/warp.py.'''
@@ -33,7 +33,10 @@ def _pallas_conv_ok(xshape, wshape):
         if jax.default_backend() == 'cpu' or jax.device_count() != 1:
             return False
         from ..ops.pallas.conv_kernel import supported
-        b, h, wd, _ = xshape
+        if nchw:
+            b, _, h, wd = xshape
+        else:
+            b, h, wd, _ = xshape
         kh, kw, ci, co = wshape
         return supported(b, h, wd, kh, kw, ci, co)
     except Exception:
@@ -61,26 +64,39 @@ def _conv_geometry(h, w, kh, kw, stride, padding):
     return pads, out_h, out_w
 
 
-def _stencil_conv2d_raw(x, w, stride, pads, out_h, out_w):
+def _stencil_conv2d_raw(x, w, stride, pads, out_h, out_w, nchw=False):
     kh, kw, ci, co = w.shape
     b = x.shape[0]
     sy, sx = stride
-    xp = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)))
+    if nchw:
+        xp = jnp.pad(x, ((0, 0), (0, 0), pads[0], pads[1]))
+    else:
+        xp = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)))
     out = None
     for dy in range(kh):
         for dx in range(kw):
-            patch = lax.slice(
-                xp, (0, dy, dx, 0),
-                (b, dy + (out_h - 1) * sy + 1, dx + (out_w - 1) * sx + 1, ci),
-                (1, sy, sx, 1))
-            term = jnp.einsum('bhwi,io->bhwo', patch, w[dy, dx],
-                              preferred_element_type=jnp.float32)
+            if nchw:
+                patch = lax.slice(
+                    xp, (0, 0, dy, dx),
+                    (b, ci, dy + (out_h - 1) * sy + 1,
+                     dx + (out_w - 1) * sx + 1),
+                    (1, 1, sy, sx))
+                term = jnp.einsum('bihw,io->bohw', patch, w[dy, dx],
+                                  preferred_element_type=jnp.float32)
+            else:
+                patch = lax.slice(
+                    xp, (0, dy, dx, 0),
+                    (b, dy + (out_h - 1) * sy + 1,
+                     dx + (out_w - 1) * sx + 1, ci),
+                    (1, sy, sx, 1))
+                term = jnp.einsum('bhwi,io->bhwo', patch, w[dy, dx],
+                                  preferred_element_type=jnp.float32)
             out = term if out is None else out + term
     return out.astype(x.dtype) if out.dtype != x.dtype else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _stencil_conv2d_s1(x, w, b, pads, relu):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _stencil_conv2d_s1(x, w, b, pads, relu, nchw=False):
     '''Stride-1 stencil conv (+bias, +optional fused relu) with hand-written
     backward.
 
@@ -95,49 +111,63 @@ def _stencil_conv2d_s1(x, w, b, pads, relu):
     - d/dw: per-tap contraction of the padded input window with the
       cotangent over (batch, y, x); d/db: per-channel cotangent sums.
     '''
-    h, wd = x.shape[1], x.shape[2]
+    sp = (2, 3) if nchw else (1, 2)
+    h, wd = x.shape[sp[0]], x.shape[sp[1]]
     kh, kw = w.shape[0], w.shape[1]
     out_h = h + pads[0][0] + pads[0][1] - kh + 1
     out_w = wd + pads[1][0] + pads[1][1] - kw + 1
-    if _pallas_conv_ok(x.shape, w.shape):
+    if _pallas_conv_ok(x.shape, w.shape, nchw):
         from ..ops.pallas.conv_kernel import stencil_conv2d_pallas
         return stencil_conv2d_pallas(
-            x, w, b, pads=pads, relu=relu).astype(x.dtype)
-    out = _stencil_conv2d_raw(x, w, (1, 1), pads, out_h, out_w)
-    out = out + b.astype(out.dtype)
+            x, w, b, pads=pads, relu=relu, nchw=nchw).astype(x.dtype)
+    out = _stencil_conv2d_raw(x, w, (1, 1), pads, out_h, out_w, nchw=nchw)
+    bb = b.reshape(1, -1, 1, 1) if nchw else b
+    out = out + bb.astype(out.dtype)
     return jnp.maximum(out, 0) if relu else out
 
 
-def _stencil_s1_fwd(x, w, b, pads, relu):
-    out = _stencil_conv2d_s1(x, w, b, pads, relu)
+def _stencil_s1_fwd(x, w, b, pads, relu, nchw=False):
+    out = _stencil_conv2d_s1(x, w, b, pads, relu, nchw)
     return out, (x, w, out if relu else None)
 
 
-def _stencil_s1_bwd(pads, relu, res, g):
+def _stencil_s1_bwd(pads, relu, nchw, res, g):
     x, w, out = res
     kh, kw, ci, co = w.shape
-    b, h, wd, _ = x.shape
-    oh, ow = g.shape[1], g.shape[2]
+    sp = (2, 3) if nchw else (1, 2)
+    b, h, wd = x.shape[0], x.shape[sp[0]], x.shape[sp[1]]
+    oh, ow = g.shape[sp[0]], g.shape[sp[1]]
     if relu:
         g = jnp.where(out > 0, g, 0).astype(g.dtype)
-    if _pallas_conv_ok(g.shape, w.shape):
+    if _pallas_conv_ok(g.shape, w.shape, nchw):
         from ..ops.pallas.conv_kernel import stencil_conv2d_bwd_pallas
-        dx, dw, db = stencil_conv2d_bwd_pallas(x, g, w, pads=pads)
+        dx, dw, db = stencil_conv2d_bwd_pallas(x, g, w, pads=pads, nchw=nchw)
         return dx.astype(x.dtype), dw.astype(w.dtype), db.astype(x.dtype)
     wf = w[::-1, ::-1].transpose(0, 1, 3, 2)
     gpads = ((kh - 1 - pads[0][0], kh - 1 - pads[0][1]),
              (kw - 1 - pads[1][0], kw - 1 - pads[1][1]))
-    dx = _stencil_conv2d_raw(g, wf, (1, 1), gpads, h, wd).astype(x.dtype)
-    xp = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)))
+    dx = _stencil_conv2d_raw(g, wf, (1, 1), gpads, h, wd,
+                             nchw=nchw).astype(x.dtype)
     taps = []
-    for dy in range(kh):
-        for dxx in range(kw):
-            patch = lax.slice(xp, (0, dy, dxx, 0),
-                              (b, dy + oh, dxx + ow, ci))
-            taps.append(jnp.einsum('bhwi,bhwo->io', patch, g,
-                                   preferred_element_type=jnp.float32))
+    if nchw:
+        xp = jnp.pad(x, ((0, 0), (0, 0), pads[0], pads[1]))
+        for dy in range(kh):
+            for dxx in range(kw):
+                patch = lax.slice(xp, (0, 0, dy, dxx),
+                                  (b, ci, dy + oh, dxx + ow))
+                taps.append(jnp.einsum('bihw,bohw->io', patch, g,
+                                       preferred_element_type=jnp.float32))
+        db = jnp.sum(g, axis=(0, 2, 3), dtype=jnp.float32).astype(x.dtype)
+    else:
+        xp = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)))
+        for dy in range(kh):
+            for dxx in range(kw):
+                patch = lax.slice(xp, (0, dy, dxx, 0),
+                                  (b, dy + oh, dxx + ow, ci))
+                taps.append(jnp.einsum('bhwi,bhwo->io', patch, g,
+                                       preferred_element_type=jnp.float32))
+        db = jnp.sum(g, axis=(0, 1, 2), dtype=jnp.float32).astype(x.dtype)
     dw = jnp.stack(taps, 0).reshape(kh, kw, ci, co).astype(w.dtype)
-    db = jnp.sum(g, axis=(0, 1, 2), dtype=jnp.float32).astype(x.dtype)
     return dx, dw, db
 
 
@@ -151,29 +181,35 @@ def _s1_eligible(stride, pads, kh, kw):
 
 
 def stencil_conv2d(x, w, stride=(1, 1), padding='SAME', bias=None,
-                   relu=False):
+                   relu=False, data_format='NHWC'):
     '''2D conv as kh*kw shifted multiply-accumulates (exact, VPU-friendly).
 
     Args:
-        x: [B, H, W, Ci]; w: [kh, kw, Ci, Co]; stride: (sy, sx);
+        x: [B, H, W, Ci] (or [B, Ci, H, W] with data_format='NCHW' — the
+            channel-major layout the Pallas kernels use natively, so no
+            layout transposes are emitted);
+        w: [kh, kw, Ci, Co]; stride: (sy, sx);
         padding: 'SAME' / 'VALID' / explicit ((top, bottom), (left, right));
         bias: optional [Co]; relu: fuse a relu into the conv.
     '''
+    nchw = data_format == 'NCHW'
     kh, kw = w.shape[0], w.shape[1]
-    h, wd = x.shape[1], x.shape[2]
+    sp = (2, 3) if nchw else (1, 2)
+    h, wd = x.shape[sp[0]], x.shape[sp[1]]
     stride = tuple(stride)
     pads, out_h, out_w = _conv_geometry(h, wd, kh, kw, stride, padding)
     if _s1_eligible(stride, pads, kh, kw):
         b_arr = (jnp.zeros((w.shape[3],), x.dtype) if bias is None
                  else bias.astype(x.dtype))
-        return _stencil_conv2d_s1(x, w, b_arr, pads, bool(relu))
-    out = _stencil_conv2d_raw(x, w, stride, pads, out_h, out_w)
+        return _stencil_conv2d_s1(x, w, b_arr, pads, bool(relu), nchw)
+    out = _stencil_conv2d_raw(x, w, stride, pads, out_h, out_w, nchw=nchw)
     if bias is not None:
-        out = out + bias.astype(out.dtype)
+        bb = bias.reshape(1, -1, 1, 1) if nchw else bias
+        out = out + bb.astype(out.dtype)
     return jnp.maximum(out, 0) if relu else out
 
 
-def stencil_conv_transpose2d(x, w, rate):
+def stencil_conv_transpose2d(x, w, rate, data_format='NHWC'):
     '''ConvTranspose with kernel == stride == rate as interleaved einsums.
 
     Every output pixel receives exactly one input contribution, so the tconv
@@ -181,12 +217,17 @@ def stencil_conv_transpose2d(x, w, rate):
     interleave — no scatter. Matches nn.ConvTranspose(kernel=rate,
     strides=rate) for SAME/VALID (identical when kernel == stride).
     '''
-    b, h, wd, ci = x.shape
     kh, kw, _, co = w.shape
     assert (kh, kw) == (rate, rate)
     # lax.conv_transpose (zeros-insertion + conv) applies the kernel
     # spatially flipped relative to the phase grid
     w = w[::-1, ::-1]
+    if data_format == 'NCHW':
+        b, ci, h, wd = x.shape
+        out = jnp.einsum('bihw,deio->bohdwe', x, w,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        return out.reshape(b, co, h * rate, wd * rate)
+    b, h, wd, ci = x.shape
     # [B, H, W, rate, rate, Co]
     out = jnp.einsum('bhwi,deio->bhwdeo', x, w,
                      preferred_element_type=jnp.float32).astype(x.dtype)
@@ -207,11 +248,13 @@ class Conv2DFast(nn.Module):
     use_bias: bool = True
     dtype: Optional[Any] = None
     activation: Optional[str] = None
+    data_format: str = 'NHWC'
 
     @nn.compact
     def __call__(self, x):
         kh, kw = self.kernel_size
-        ci = x.shape[-1]
+        nchw = self.data_format == 'NCHW'
+        ci = x.shape[1] if nchw else x.shape[-1]
         kernel = self.param(
             'kernel', nn.initializers.lecun_normal(),
             (kh, kw, ci, self.features), jnp.float32)
@@ -228,14 +271,16 @@ class Conv2DFast(nn.Module):
                  and isinstance(self.padding, str))
         if small:
             return stencil_conv2d(x, kernel, self.strides, self.padding,
-                                  bias=bias, relu=relu)
+                                  bias=bias, relu=relu,
+                                  data_format=self.data_format)
         out = lax.conv_general_dilated(
             x, kernel, self.strides,
             self.padding.upper() if isinstance(self.padding, str)
             else self.padding,
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+            dimension_numbers=(self.data_format, 'HWIO', self.data_format))
         if bias is not None:
-            out = out + bias.astype(out.dtype)
+            bb = bias.reshape(1, -1, 1, 1) if nchw else bias
+            out = out + bb.astype(out.dtype)
         return jnp.maximum(out, 0) if relu else out
 
 
@@ -247,11 +292,13 @@ class ConvTranspose2DFast(nn.Module):
     padding: Any = 'SAME'
     use_bias: bool = True
     dtype: Optional[Any] = None
+    data_format: str = 'NHWC'
 
     @nn.compact
     def __call__(self, x):
         kh, kw = self.kernel_size
-        ci = x.shape[-1]
+        nchw = self.data_format == 'NCHW'
+        ci = x.shape[1] if nchw else x.shape[-1]
         kernel = self.param(
             'kernel', nn.initializers.lecun_normal(),
             (kh, kw, ci, self.features), jnp.float32)
@@ -265,13 +312,83 @@ class ConvTranspose2DFast(nn.Module):
                  and self.features <= _SMALL_CHANNEL_LIMIT
                  and (kh, kw) == tuple(self.strides))
         if small:
-            out = stencil_conv_transpose2d(x, kernel, kh)
+            out = stencil_conv_transpose2d(x, kernel, kh,
+                                           data_format=self.data_format)
         else:
             out = lax.conv_transpose(
                 x, kernel, self.strides,
                 self.padding.upper() if isinstance(self.padding, str)
                 else self.padding,
-                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+                dimension_numbers=(self.data_format, 'HWIO',
+                                   self.data_format))
         if bias is not None:
-            out = out + bias.astype(out.dtype)
+            bb = bias.reshape(1, -1, 1, 1) if nchw else bias
+            out = out + bb.astype(out.dtype)
         return out
+
+
+# ---------------------------------------------------------------------------
+# Fused ConvChain cell (NCHW, Pallas): conv+bias+relu -> conv+bias+relu as
+# one kernel per direction. Used by blocks.ConvChain when eligible; params
+# are held by _ConvParams submodules named conv_0/conv_1 so the tree is
+# identical to the unfused Conv2DFast path (checkpoints interchangeable).
+# ---------------------------------------------------------------------------
+
+
+class _ConvParams(nn.Module):
+    '''Parameter holder matching Conv2DFast's param names/shapes.'''
+    features: int
+    kernel_size: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self, ci):
+        kh, kw = self.kernel_size
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (kh, kw, ci, self.features), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
+def chain_pallas_ok(xshape, kernel_size, filters, padding):
+    '''Static (trace-time) eligibility of the fused NCHW chain kernel.'''
+    try:
+        if jax.default_backend() == 'cpu' or jax.device_count() != 1:
+            return False
+        b, ci, h, w = xshape
+        if max(ci, filters) > _SMALL_CHANNEL_LIMIT:
+            return False
+        kh = kw = int(kernel_size)
+        pads, oh, ow = _conv_geometry(h, w, kh, kw, (1, 1), padding)
+        if (oh, ow) != (h, w):
+            return False  # the chain kernel is size-preserving (SAME)
+        from ..ops.pallas.conv_kernel import chain_supported
+        return chain_supported(b, h, w, kh, kw, ci, filters, filters)
+    except Exception:
+        return False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def conv_chain_nchw(x, w1, b1, w2, b2, pads):
+    '''relu(conv(relu(conv(x, w1) + b1), w2) + b2), fused (NCHW).'''
+    from ..ops.pallas.conv_kernel import conv_chain_pallas
+    _, c2 = conv_chain_pallas(x, w1, b1, w2, b2, pads=pads)
+    return c2.astype(x.dtype)
+
+
+def _chain_fwd(x, w1, b1, w2, b2, pads):
+    from ..ops.pallas.conv_kernel import conv_chain_pallas
+    c1, c2 = conv_chain_pallas(x, w1, b1, w2, b2, pads=pads)
+    return c2.astype(x.dtype), (x, w1, w2, c1, c2)
+
+
+def _chain_bwd(pads, res, g):
+    x, w1, w2, c1, c2 = res
+    from ..ops.pallas.conv_kernel import conv_chain_bwd_pallas
+    dx, dw1, db1, dw2, db2 = conv_chain_bwd_pallas(
+        x, c1, c2, g.astype(jnp.float32), w1, w2, pads=pads)
+    return (dx.astype(x.dtype), dw1.astype(w1.dtype), db1.astype(x.dtype),
+            dw2.astype(w2.dtype), db2.astype(x.dtype))
+
+
+conv_chain_nchw.defvjp(_chain_fwd, _chain_bwd)

@@ -33,6 +33,7 @@ class UNet(nn.Module):
     padding: str = 'valid'
     activation: Any = 'relu'
     dtype: Optional[Any] = None
+    data_format: str = 'NHWC'
 
     @nn.compact
     def __call__(self, x, training: bool = False):
@@ -40,12 +41,14 @@ class UNet(nn.Module):
             filters_first=self.filters_first, n_downsample=self.n_downsample,
             rate=self.rate, kernel_size=self.kernel_size,
             conv_stride=self.conv_stride, bn=self.bn, padding=self.padding,
-            activation=self.activation, dtype=self.dtype, name='encoder',
+            activation=self.activation, dtype=self.dtype,
+            data_format=self.data_format, name='encoder',
         )(x, training=training)
         x = blocks.Decoder(
             rate=self.rate, kernel_size=self.kernel_size,
             conv_stride=self.conv_stride, bn=self.bn, padding=self.padding,
-            activation=self.activation, dtype=self.dtype, name='decoder',
+            activation=self.activation, dtype=self.dtype,
+            data_format=self.data_format, name='decoder',
         )(x, skips, training=training)
         return x
 
@@ -103,23 +106,40 @@ class UNetAnnotator(nn.Module):
     activation: Any = 'relu'
     kernel_regularizer: Any = None
     dtype: Optional[Any] = None
+    # 'auto': channel-major NCHW internally when BN is off (the TPU-fast
+    # layout: W in lanes, no per-conv transposes; flax BatchNorm wants the
+    # channel last, so BN models stay NHWC). Parameters are layout-agnostic
+    # (HWIO kernels), so checkpoints are interchangeable between layouts.
+    data_format: str = 'auto'
 
-    def _body(self):
+    def _resolve_format(self):
+        if self.data_format != 'auto':
+            return self.data_format
+        return 'NHWC' if self.bn else 'NCHW'
+
+    def _body(self, fmt):
         return UNet(
             filters_first=self.n_filters_first, n_downsample=self.n_downsample,
             rate=self.rate, kernel_size=self.kernel_size,
             conv_stride=self.conv_stride, bn=self.bn, padding=self.padding,
-            activation=self.activation, dtype=self.dtype, name='unet',
+            activation=self.activation, dtype=self.dtype, data_format=fmt,
+            name='unet',
         )
 
     @nn.compact
     def __call__(self, x, training: bool = False, return_logits: bool = False):
-        x = self._body()(x, training=training)
+        fmt = self._resolve_format()
+        if fmt == 'NCHW':
+            x = jnp.transpose(x, (0, 3, 1, 2))
+        x = self._body(fmt)(x, training=training)
         logits = blocks.Conv2DFast(
             features=1, kernel_size=(1, 1),
             padding=blocks._canon_padding(self.padding), dtype=self.dtype,
+            data_format=fmt,
             name='last_conv',
         )(x)
+        if fmt == 'NCHW':
+            logits = jnp.transpose(logits, (0, 2, 3, 1))
         logits = logits.astype(jnp.float32)
         if return_logits:
             return logits
@@ -129,8 +149,11 @@ class UNetAnnotator(nn.Module):
 class MulmoUNetAnnotator(UNetAnnotator):
     '''Annotator head on top of MulmoUNet.'''
     reference_index: int = 0
+    # per-channel encoders slice the channel axis NHWC-style
+    data_format: str = 'NHWC'
 
-    def _body(self):
+    def _body(self, fmt):
+        del fmt
         return MulmoUNet(
             filters_first=self.n_filters_first, n_downsample=self.n_downsample,
             rate=self.rate, kernel_size=self.kernel_size,

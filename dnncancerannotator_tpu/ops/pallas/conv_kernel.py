@@ -65,19 +65,29 @@ def supported(b, h, w, kh, kw, ci, co):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('pads', 'relu', 'interpret'))
+                   static_argnames=('pads', 'relu', 'nchw', 'interpret'))
 def stencil_conv2d_pallas(x, w, bias=None, pads=((1, 1), (1, 1)),
-                          relu=False, interpret=False):
-    '''Fused stride-1 conv (+bias, +optional relu) of NHWC ``x``
-    [B, H, W, Ci] with ``w`` [kh, kw, Ci, Co] under explicit spatial
-    ``pads``; returns NHWC f32.'''
-    b, h, wd, ci = x.shape
+                          relu=False, nchw=False, interpret=False):
+    '''Fused stride-1 conv (+bias, +optional relu) of ``x`` with ``w``
+    [kh, kw, Ci, Co] under explicit spatial ``pads``.
+
+    ``nchw=False``: x is [B, H, W, Ci] and the result is NHWC (layout
+    transposes around the channel-major kernel). ``nchw=True``: x is
+    [B, Ci, H, W] and the result stays NCHW — no layout ops at all, the
+    fast path when the whole network runs channel-major.
+    '''
     kh, kw, _, co = w.shape
+    if nchw:
+        b, ci, h, wd = x.shape
+        xp = jnp.pad(x.astype(jnp.float32),
+                     ((0, 0), (0, 0), pads[0], pads[1]))
+    else:
+        b, h, wd, ci = x.shape
+        xp = jnp.pad(x.astype(jnp.float32),
+                     ((0, 0), pads[0], pads[1], (0, 0)))
+        xp = jnp.transpose(xp, (0, 3, 1, 2))  # [B, Ci, H+ph, W+pw]
     out_h = h + pads[0][0] + pads[0][1] - kh + 1
     out_w = wd + pads[1][0] + pads[1][1] - kw + 1
-    xp = jnp.pad(x.astype(jnp.float32),
-                 ((0, 0), pads[0], pads[1], (0, 0)))
-    xp = jnp.transpose(xp, (0, 3, 1, 2))  # [B, Ci, H+ph, W+pw]
     wvec = w.astype(jnp.float32).reshape(-1)
     bvec = (jnp.zeros((co,), jnp.float32) if bias is None
             else bias.astype(jnp.float32))
@@ -99,7 +109,7 @@ def stencil_conv2d_pallas(x, w, bias=None, pads=((1, 1), (1, 1)),
         ],
         interpret=interpret,
     )(wvec, bvec, xp)
-    return jnp.transpose(out, (0, 2, 3, 1))
+    return out if nchw else jnp.transpose(out, (0, 2, 3, 1))
 
 
 def _bwd_kernel(w_ref, xp_ref, gp_ref, g_ref, dx_ref, dw_ref,
@@ -146,29 +156,39 @@ def _bwd_kernel(w_ref, xp_ref, gp_ref, g_ref, dx_ref, dw_ref,
         dw_ref[idx] = prev + s
 
 
-@functools.partial(jax.jit, static_argnames=('pads', 'interpret'))
-def stencil_conv2d_bwd_pallas(x, g, w, pads=((1, 1), (1, 1)),
+@functools.partial(jax.jit, static_argnames=('pads', 'nchw', 'interpret'))
+def stencil_conv2d_bwd_pallas(x, g, w, pads=((1, 1), (1, 1)), nchw=False,
                               interpret=False):
     '''Fused backward of the stride-1 stencil conv: returns (dx, dw, db).
 
     Args:
-        x: forward input [B, H, W, Ci] (NHWC); g: cotangent [B, oh, ow, Co];
+        x: forward input [B, H, W, Ci] (or [B, Ci, H, W] when ``nchw``);
+        g: cotangent [B, oh, ow, Co] (or [B, Co, oh, ow]);
         w: forward weights [kh, kw, Ci, Co]; pads: the forward pads.
     '''
-    b, h, wd, ci = x.shape
     kh, kw, _, co = w.shape
-    oh, ow = g.shape[1], g.shape[2]
     gpads = ((kh - 1 - pads[0][0], kh - 1 - pads[0][1]),
              (kw - 1 - pads[1][0], kw - 1 - pads[1][1]))
+    if nchw:
+        b, ci, h, wd = x.shape
+        oh, ow = g.shape[2], g.shape[3]
+        xp = jnp.pad(x.astype(jnp.float32),
+                     ((0, 0), (0, 0), pads[0], pads[1]))
+        gc = g.astype(jnp.float32)
+        gp = jnp.pad(gc, ((0, 0), (0, 0), gpads[0], gpads[1]))
+    else:
+        b, h, wd, ci = x.shape
+        oh, ow = g.shape[1], g.shape[2]
+        xp = jnp.transpose(
+            jnp.pad(x.astype(jnp.float32),
+                    ((0, 0), pads[0], pads[1], (0, 0))),
+            (0, 3, 1, 2))
+        gf = g.astype(jnp.float32)
+        gp = jnp.transpose(jnp.pad(gf, ((0, 0), gpads[0], gpads[1], (0, 0))),
+                           (0, 3, 1, 2))
+        gc = jnp.transpose(gf, (0, 3, 1, 2))
     hp = h + pads[0][0] + pads[0][1]
     wp = wd + pads[1][0] + pads[1][1]
-    xp = jnp.transpose(
-        jnp.pad(x.astype(jnp.float32), ((0, 0), pads[0], pads[1], (0, 0))),
-        (0, 3, 1, 2))
-    gf = g.astype(jnp.float32)
-    gp = jnp.transpose(jnp.pad(gf, ((0, 0), gpads[0], gpads[1], (0, 0))),
-                       (0, 3, 1, 2))
-    gc = jnp.transpose(gf, (0, 3, 1, 2))
     wvec = w.astype(jnp.float32).reshape(-1)
     dx, dw = pl.pallas_call(
         functools.partial(_bwd_kernel, kh=kh, kw=kw, ci=ci, co=co,
@@ -198,6 +218,270 @@ def stencil_conv2d_bwd_pallas(x, g, w, pads=((1, 1), (1, 1)),
         ],
         interpret=interpret,
     )(wvec, xp, gp, gc)
-    return (jnp.transpose(dx, (0, 2, 3, 1)),
+    return (dx if nchw else jnp.transpose(dx, (0, 2, 3, 1)),
             dw[:kh * kw * ci * co].reshape(kh, kw, ci, co),
             dw[kh * kw * ci * co:])
+
+
+# ---------------------------------------------------------------------------
+# Fused conv chain: conv+bias+relu -> conv+bias+relu in one kernel per
+# direction (the ConvChain cell, models/blocks.py). Cuts the XLA op count
+# roughly in half again vs per-conv kernels: the intermediate activation
+# never leaves VMEM except as the backward residual.
+# ---------------------------------------------------------------------------
+
+
+def _chain_kernel(w_ref, x_ref, c1_ref, c2_ref, sh_ref, c1p_ref, *,
+                  kh, kw, ci, cm, co, h, w, p1, p2):
+    '''One batch image: c1 = relu(conv(x, w1) + b1); c2 = relu(conv(c1, w2)
+    + b2). Layout: everything [C, H, W] per image; x_ref pre-padded with p1.
+
+    SMEM weight vector layout: [w1 | b1 | w2 | b2].
+    '''
+    n1 = kh * kw * ci * cm
+    n2 = kh * kw * cm * co
+    # conv1 accumulates in the aligned c1 output block
+    for o in range(cm):
+        c1_ref[0, o] = jnp.full((h, w), w_ref[n1 + o], jnp.float32)
+    for i in range(ci):
+        for dx in range(kw):
+            sh_ref[:] = x_ref[0, i, :, dx:dx + w]
+            for dy in range(kh):
+                window = sh_ref[dy:dy + h]
+                for o in range(cm):
+                    wv = w_ref[((dy * kw + dx) * ci + i) * cm + o]
+                    c1_ref[0, o] = c1_ref[0, o] + window * wv
+    # relu + one padded copy per channel for conv2's stencil reads
+    for o in range(cm):
+        act = jnp.maximum(c1_ref[0, o], 0.0)
+        c1_ref[0, o] = act
+        c1p_ref[o] = jnp.zeros((h + p2[0][0] + p2[0][1],
+                                w + p2[1][0] + p2[1][1]), jnp.float32)
+        c1p_ref[o, p2[0][0]:p2[0][0] + h, p2[1][0]:p2[1][0] + w] = act
+    # conv2 from the padded intermediate
+    for o in range(co):
+        c2_ref[0, o] = jnp.full((h, w), w_ref[n1 + cm + n2 + o], jnp.float32)
+    for i in range(cm):
+        for dx in range(kw):
+            sh_ref[:] = c1p_ref[i, :, dx:dx + w]
+            for dy in range(kh):
+                window = sh_ref[dy:dy + h]
+                for o in range(co):
+                    wv = w_ref[n1 + cm + ((dy * kw + dx) * cm + i) * co + o]
+                    c2_ref[0, o] = c2_ref[0, o] + window * wv
+    for o in range(co):
+        c2_ref[0, o] = jnp.maximum(c2_ref[0, o], 0.0)
+
+
+def chain_supported(b, h, w, kh, kw, ci, cm, co):
+    '''VMEM bound for the fused chain kernels (same-size conv pair).'''
+    if kh * kw * max(ci, cm) * max(cm, co) > 1024:
+        return False
+    hp, wp = h + kh - 1, w + kw - 1
+    per_program = 4 * (
+        2 * ci * hp * wp            # x block (double-buffered)
+        + 2 * (cm + co) * h * w     # c1/c2 (or dx/g) blocks
+        + 2 * (cm + co) * hp * wp   # padded scratches
+        + hp * wp)                  # lane-shift scratch
+    return per_program < _VMEM_LIMIT_BYTES
+
+
+@functools.partial(jax.jit, static_argnames=('pads', 'interpret'))
+def conv_chain_pallas(x, w1, b1, w2, b2, pads=((1, 1), (1, 1)),
+                      interpret=False):
+    '''Fused NCHW chain: returns (c1, c2), both post-relu.
+
+    Both convs are stride-1 with the same ``pads`` and preserve the spatial
+    size (the SAME-padding ConvChain case); w1: [kh, kw, Ci, Cm],
+    w2: [kh, kw, Cm, Co].
+    '''
+    b, ci, h, wd = x.shape
+    kh, kw, _, cm = w1.shape
+    co = w2.shape[3]
+    assert h + pads[0][0] + pads[0][1] - kh + 1 == h, (pads, kh, h)
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, 0), pads[0], pads[1]))
+    wvec = jnp.concatenate([
+        w1.astype(jnp.float32).reshape(-1), b1.astype(jnp.float32),
+        w2.astype(jnp.float32).reshape(-1), b2.astype(jnp.float32)])
+    hp = h + pads[0][0] + pads[0][1]
+    wp = wd + pads[1][0] + pads[1][1]
+    c1, c2 = pl.pallas_call(
+        functools.partial(_chain_kernel, kh=kh, kw=kw, ci=ci, cm=cm, co=co,
+                          h=h, w=wd, p1=pads, p2=pads),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ci, hp, wp), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, cm, h, wd), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co, h, wd), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, cm, h, wd), jnp.float32),
+            jax.ShapeDtypeStruct((b, co, h, wd), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((hp, wd), jnp.float32),
+            pltpu.VMEM((cm, hp, wp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(wvec, xp)
+    return c1, c2
+
+
+def _chain_bwd_kernel(w_ref, xp_ref, c1_ref, c2_ref, g_ref, dx_ref, dw_ref,
+                      sh_ref, g2p_ref, c1p_ref, dc1p_ref, dc1a_ref, g2a_ref,
+                      *, kh, kw, ci, cm, co, h, w, pads, gpads):
+    '''Whole ConvChain backward for one batch image, dw/db accumulated in
+    SMEM across the sequential batch grid.
+
+    SMEM output layout: [dw1 | db1 | dw2 | db2].
+    '''
+    first = pl.program_id(0) == 0
+    n1 = kh * kw * ci * cm
+    n2 = kh * kw * cm * co
+    gy0, gx0 = gpads[0][0], gpads[1][0]
+    py0, px0 = pads[0][0], pads[1][0]
+    hp = h + pads[0][0] + pads[0][1]
+    wp = w + pads[1][0] + pads[1][1]
+
+    def acc(idx, s):
+        prev = jnp.where(first, 0.0, dw_ref[idx])
+        dw_ref[idx] = prev + s
+
+    # relu-masked cotangent: aligned copy for the reductions, padded copy
+    # for the dc1 stencil (interior slices of the padded scratch relayout on
+    # every read, so they must never sit inside the unrolled tap loops)
+    for o in range(co):
+        g2 = jnp.where(c2_ref[0, o] > 0, g_ref[0, o], 0.0)
+        g2a_ref[o] = g2
+        g2p_ref[o] = jnp.zeros((h + kh - 1, w + kw - 1), jnp.float32)
+        g2p_ref[o, gy0:gy0 + h, gx0:gx0 + w] = g2
+    for i in range(cm):
+        c1p_ref[i] = jnp.zeros((hp, wp), jnp.float32)
+        c1p_ref[i, py0:py0 + h, px0:px0 + w] = c1_ref[0, i]
+
+    # dw2 / db2
+    for i in range(cm):
+        for dxx in range(kw):
+            sh_ref[:] = c1p_ref[i, :, dxx:dxx + w]
+            for dy in range(kh):
+                window = sh_ref[dy:dy + h]
+                for o in range(co):
+                    s = jnp.sum(window * g2a_ref[o])
+                    acc(n1 + cm + ((dy * kw + dxx) * cm + i) * co + o, s)
+    for o in range(co):
+        acc(n1 + cm + n2 + o, jnp.sum(g2a_ref[o]))
+
+    # dc1 = stencil(g2p, flip(w2)) masked by relu(c1); aligned accumulate
+    init = [False] * cm
+    for o in range(co):
+        for ex in range(kw):
+            sh_ref[:] = g2p_ref[o, :, ex:ex + w]
+            for ey in range(kh):
+                window = sh_ref[ey:ey + h]
+                for i in range(cm):
+                    wv = w_ref[n1 + cm + (((kh - 1 - ey) * kw
+                                           + (kw - 1 - ex)) * cm + i)
+                               * co + o]
+                    if not init[i]:
+                        dc1a_ref[i] = window * wv
+                        init[i] = True
+                    else:
+                        dc1a_ref[i] = dc1a_ref[i] + window * wv
+    for i in range(cm):
+        masked = jnp.where(c1_ref[0, i] > 0, dc1a_ref[i], 0.0)
+        dc1a_ref[i] = masked
+        dc1p_ref[i] = jnp.zeros((h + kh - 1, w + kw - 1), jnp.float32)
+        dc1p_ref[i, gy0:gy0 + h, gx0:gx0 + w] = masked
+
+    # dw1 / db1
+    for i in range(ci):
+        for dxx in range(kw):
+            sh_ref[:] = xp_ref[0, i, :, dxx:dxx + w]
+            for dy in range(kh):
+                window = sh_ref[dy:dy + h]
+                for o in range(cm):
+                    s = jnp.sum(window * dc1a_ref[o])
+                    acc(((dy * kw + dxx) * ci + i) * cm + o, s)
+    for o in range(cm):
+        acc(n1 + o, jnp.sum(dc1a_ref[o]))
+
+    # dx = stencil(dc1p, flip(w1))
+    init = [False] * ci
+    for o in range(cm):
+        for ex in range(kw):
+            sh_ref[:] = dc1p_ref[o, :, ex:ex + w]
+            for ey in range(kh):
+                window = sh_ref[ey:ey + h]
+                for i in range(ci):
+                    wv = w_ref[(((kh - 1 - ey) * kw + (kw - 1 - ex)) * ci + i)
+                               * cm + o]
+                    if not init[i]:
+                        dx_ref[0, i] = window * wv
+                        init[i] = True
+                    else:
+                        dx_ref[0, i] = dx_ref[0, i] + window * wv
+
+
+@functools.partial(jax.jit, static_argnames=('pads', 'interpret'))
+def conv_chain_bwd_pallas(x, c1, c2, g, w1, w2, pads=((1, 1), (1, 1)),
+                          interpret=False):
+    '''Fused backward of the conv chain: returns (dx, dw1, db1, dw2, db2).'''
+    b, ci, h, wd = x.shape
+    kh, kw, _, cm = w1.shape
+    co = w2.shape[3]
+    gpads = ((kh - 1 - pads[0][0], kh - 1 - pads[0][1]),
+             (kw - 1 - pads[1][0], kw - 1 - pads[1][1]))
+    hp = h + pads[0][0] + pads[0][1]
+    wp = wd + pads[1][0] + pads[1][1]
+    n1 = kh * kw * ci * cm
+    n2 = kh * kw * cm * co
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, 0), pads[0], pads[1]))
+    wvec = jnp.concatenate([
+        w1.astype(jnp.float32).reshape(-1),
+        jnp.zeros((cm,), jnp.float32),
+        w2.astype(jnp.float32).reshape(-1)])
+    dx, dsum = pl.pallas_call(
+        functools.partial(_chain_bwd_kernel, kh=kh, kw=kw, ci=ci, cm=cm,
+                          co=co, h=h, w=wd, pads=pads, gpads=gpads),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ci, hp, wp), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cm, h, wd), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co, h, wd), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co, h, wd), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ci, h, wd), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, ci, h, wd), jnp.float32),
+            jax.ShapeDtypeStruct((n1 + cm + n2 + co,), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((h + kh - 1, wd), jnp.float32),
+            pltpu.VMEM((co, h + kh - 1, wd + kw - 1), jnp.float32),
+            pltpu.VMEM((cm, hp, wp), jnp.float32),
+            pltpu.VMEM((cm, h + kh - 1, wd + kw - 1), jnp.float32),
+            pltpu.VMEM((cm, h, wd), jnp.float32),
+            pltpu.VMEM((co, h, wd), jnp.float32),
+        ],
+        interpret=interpret,
+    )(wvec, xp, c1, c2, g)
+    return (dx,
+            dsum[:n1].reshape(kh, kw, ci, cm),
+            dsum[n1:n1 + cm],
+            dsum[n1 + cm:n1 + cm + n2].reshape(kh, kw, cm, co),
+            dsum[n1 + cm + n2:])

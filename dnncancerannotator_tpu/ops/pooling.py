@@ -1,66 +1,50 @@
-'''Max pooling with a TPU-friendly backward.
+'''Max pooling with a TPU-friendly formulation.
 
-XLA lowers the autodiff backward of ``reduce_window(max)`` to
-``SelectAndScatter``, which is scalar-heavy on TPU: measured 1.39 ms for a
-single [8, 256, 256, 3] 2x2 pool backward on v5e — a third of the whole
-unet.yaml model backward. For the non-overlapping pools these models use
-(window == stride, reference components.py:59-61 ``MaxPool2D(rate)``), both
-directions are pure reshape/compare/reduce work on the VPU:
+Two formulations measured on v5e at [8, 256, 256, 3] (30-iter device loop):
 
-- forward: trim to a window multiple, reshape [B, Ho, r, Wo, r, C], max over
-  the window axes;
-- backward: broadcast the pooled max back over each window, route the cotangent
-  to the positions equal to the max.
+- ``reduce_window(max)``/reshape-reduce forward + SelectAndScatter (or a
+  reshape-compare custom VJP) backward: 0.34 ms fwd, 1.4 ms fwd+bwd — the
+  odd-axis reductions and scatter lower to slow layouts;
+- **strided-slice pairwise max** (this module): the pool is ``rate``
+  shifted strided slices combined with ``jnp.maximum`` per axis. Forward is
+  0.06 ms and plain autodiff backward is free (<0.01 ms): the transpose of
+  a strided slice is a cheap pad-interleave, and ``maximum``'s VJP is a
+  fused select.
 
-Tie semantics: the gradient is split equally among tied in-window maxima
-(``1/count`` each), whereas TF/XLA route it all to one winner. On
-continuous-valued activations ties are measure-zero; the split keeps the
-per-window cotangent sum exact either way.
+Non-overlapping pools only (window == stride), which is what these models
+use (reference components.py:59-61 ``MaxPool2D(rate)``).
+
+Tie semantics: ``jnp.maximum``'s gradient splits 50/50 at exact ties, so a
+fully-tied 2x2 window splits the cotangent 1/4 each (hierarchically down
+the pairwise-max tree for larger rates). TF/XLA route it all to one
+winner; on continuous activations ties are measure-zero and the per-window
+cotangent sum is preserved either way.
 '''
 
-import functools
-
-import jax
 import jax.numpy as jnp
 
 
-def _pool_shapes(x, rate):
-    b, h, w, c = x.shape
-    return b, h // rate, w // rate, c
+def max_pool2d(x, rate, data_format='NHWC'):
+    '''Non-overlapping max pool of [B, H, W, C] (or [B, C, H, W] with
+    data_format='NCHW') by ``rate`` (VALID padding: trailing rows/cols
+    beyond a window multiple are dropped, matching
+    ``nn.max_pool(window=(r, r), strides=(r, r))``; dropped positions get
+    zero gradient).'''
+    rate = int(rate)
+    ay, ax = (2, 3) if data_format == 'NCHW' else (1, 2)
+    h, w = x.shape[ay], x.shape[ax]
+    oh, ow = h // rate, w // rate
 
+    def sl(arr, axis, start, stop, step=1):
+        idx = [slice(None)] * arr.ndim
+        idx[axis] = slice(start, stop, step)
+        return arr[tuple(idx)]
 
-def _max_pool_impl(x, rate):
-    b, oh, ow, c = _pool_shapes(x, rate)
-    xt = x[:, :oh * rate, :ow * rate, :]
-    return xt.reshape(b, oh, rate, ow, rate, c).max(axis=(2, 4))
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def max_pool2d(x, rate):
-    '''Non-overlapping max pool of [B, H, W, C] by ``rate`` (VALID padding:
-    trailing rows/cols beyond a window multiple are dropped, matching
-    ``nn.max_pool(window=(r, r), strides=(r, r))``).'''
-    return _max_pool_impl(x, rate)
-
-
-def _max_pool_fwd(x, rate):
-    out = _max_pool_impl(x, rate)
-    return out, (x, out)
-
-
-def _max_pool_bwd(rate, res, g):
-    x, out = res
-    b, oh, ow, c = _pool_shapes(x, rate)
-    xt = x[:, :oh * rate, :ow * rate, :].reshape(b, oh, rate, ow, rate, c)
-    hit = xt == out[:, :, None, :, None, :]
-    count = hit.sum(axis=(2, 4), keepdims=True).astype(g.dtype)
-    gx = jnp.where(hit, (g[:, :, None, :, None, :] / count), 0)
-    gx = gx.reshape(b, oh * rate, ow * rate, c).astype(x.dtype)
-    h, w = x.shape[1], x.shape[2]
-    if (h, w) != (oh * rate, ow * rate):
-        gx = jnp.pad(gx, ((0, 0), (0, h - oh * rate), (0, w - ow * rate),
-                          (0, 0)))
-    return (gx,)
-
-
-max_pool2d.defvjp(_max_pool_fwd, _max_pool_bwd)
+    xt = sl(sl(x, ay, 0, oh * rate), ax, 0, ow * rate)
+    m = sl(xt, ay, 0, None, rate)
+    for i in range(1, rate):
+        m = jnp.maximum(m, sl(xt, ay, i, None, rate))
+    out = sl(m, ax, 0, None, rate)
+    for i in range(1, rate):
+        out = jnp.maximum(out, sl(m, ax, i, None, rate))
+    return out

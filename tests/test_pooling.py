@@ -36,10 +36,11 @@ def test_grad_matches_flax_without_ties(shape):
 
 
 def test_grad_ties_split_preserving_sum():
-    '''Tied in-window maxima split the cotangent; per-window sum is exact.'''
+    '''Tied in-window maxima split the cotangent (50/50 down the
+    pairwise-max tree); per-window sum is exact.'''
     x = jnp.ones((1, 4, 4, 1))
     g = jax.grad(lambda x: jnp.sum(pooling.max_pool2d(x, 2) * 7.0))(x)
-    # each 2x2 window is fully tied -> each element gets 7/4
+    # each fully-tied 2x2 window -> each element gets 7/4
     np.testing.assert_allclose(np.asarray(g), 7.0 / 4.0)
     # cotangent mass per window preserved
     assert abs(float(g.sum()) - 4 * 7.0) < 1e-6
