@@ -334,7 +334,7 @@ def conv_chain_pallas(x, w1, b1, w2, b2, pads=((1, 1), (1, 1)),
 
 
 def _chain_bwd_kernel(w_ref, xp_ref, c1_ref, c2_ref, g_ref, dx_ref, dw_ref,
-                      sh_ref, g2p_ref, c1p_ref, dc1p_ref, dc1a_ref, g2a_ref,
+                      sh_ref, g2p_ref, c1p_ref, dc1p_ref, aux_ref,
                       *, kh, kw, ci, cm, co, h, w, pads, gpads):
     '''Whole ConvChain backward for one batch image, dw/db accumulated in
     SMEM across the sequential batch grid.
@@ -355,10 +355,13 @@ def _chain_bwd_kernel(w_ref, xp_ref, c1_ref, c2_ref, g_ref, dx_ref, dw_ref,
 
     # relu-masked cotangent: aligned copy for the reductions, padded copy
     # for the dc1 stencil (interior slices of the padded scratch relayout on
-    # every read, so they must never sit inside the unrolled tap loops)
+    # every read, so they must never sit inside the unrolled tap loops).
+    # aux_ref holds g2 first, then is reused for the dc1 accumulation —
+    # their lifetimes are disjoint and the shared scratch keeps the kernel
+    # under the 16 MB scoped-VMEM budget.
     for o in range(co):
         g2 = jnp.where(c2_ref[0, o] > 0, g_ref[0, o], 0.0)
-        g2a_ref[o] = g2
+        aux_ref[o] = g2
         g2p_ref[o] = jnp.zeros((h + kh - 1, w + kw - 1), jnp.float32)
         g2p_ref[o, gy0:gy0 + h, gx0:gx0 + w] = g2
     for i in range(cm):
@@ -372,10 +375,10 @@ def _chain_bwd_kernel(w_ref, xp_ref, c1_ref, c2_ref, g_ref, dx_ref, dw_ref,
             for dy in range(kh):
                 window = sh_ref[dy:dy + h]
                 for o in range(co):
-                    s = jnp.sum(window * g2a_ref[o])
+                    s = jnp.sum(window * aux_ref[o])
                     acc(n1 + cm + ((dy * kw + dxx) * cm + i) * co + o, s)
     for o in range(co):
-        acc(n1 + cm + n2 + o, jnp.sum(g2a_ref[o]))
+        acc(n1 + cm + n2 + o, jnp.sum(aux_ref[o]))
 
     # dc1 = stencil(g2p, flip(w2)) masked by relu(c1); aligned accumulate
     init = [False] * cm
@@ -389,13 +392,13 @@ def _chain_bwd_kernel(w_ref, xp_ref, c1_ref, c2_ref, g_ref, dx_ref, dw_ref,
                                            + (kw - 1 - ex)) * cm + i)
                                * co + o]
                     if not init[i]:
-                        dc1a_ref[i] = window * wv
+                        aux_ref[i] = window * wv
                         init[i] = True
                     else:
-                        dc1a_ref[i] = dc1a_ref[i] + window * wv
+                        aux_ref[i] = aux_ref[i] + window * wv
     for i in range(cm):
-        masked = jnp.where(c1_ref[0, i] > 0, dc1a_ref[i], 0.0)
-        dc1a_ref[i] = masked
+        masked = jnp.where(c1_ref[0, i] > 0, aux_ref[i], 0.0)
+        aux_ref[i] = masked
         dc1p_ref[i] = jnp.zeros((h + kh - 1, w + kw - 1), jnp.float32)
         dc1p_ref[i, gy0:gy0 + h, gx0:gx0 + w] = masked
 
@@ -406,10 +409,10 @@ def _chain_bwd_kernel(w_ref, xp_ref, c1_ref, c2_ref, g_ref, dx_ref, dw_ref,
             for dy in range(kh):
                 window = sh_ref[dy:dy + h]
                 for o in range(cm):
-                    s = jnp.sum(window * dc1a_ref[o])
+                    s = jnp.sum(window * aux_ref[o])
                     acc(((dy * kw + dxx) * ci + i) * cm + o, s)
     for o in range(cm):
-        acc(n1 + o, jnp.sum(dc1a_ref[o]))
+        acc(n1 + o, jnp.sum(aux_ref[o]))
 
     # dx = stencil(dc1p, flip(w1))
     init = [False] * ci
@@ -475,9 +478,12 @@ def conv_chain_bwd_pallas(x, c1, c2, g, w1, w2, pads=((1, 1), (1, 1)),
             pltpu.VMEM((co, h + kh - 1, wd + kw - 1), jnp.float32),
             pltpu.VMEM((cm, hp, wp), jnp.float32),
             pltpu.VMEM((cm, h + kh - 1, wd + kw - 1), jnp.float32),
-            pltpu.VMEM((cm, h, wd), jnp.float32),
-            pltpu.VMEM((co, h, wd), jnp.float32),
+            pltpu.VMEM((max(cm, co), h, wd), jnp.float32),
         ],
+        # the level-0 instance sits just over XLA's default 16 MB scoped
+        # VMEM (physical VMEM is far larger); raise the kernel's budget
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(wvec, xp, c1, c2, g)
     return (dx,
