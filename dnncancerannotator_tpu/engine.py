@@ -434,10 +434,14 @@ class Engine:
             probs = jax.nn.sigmoid(logits)
             return loss_vec, probs, y
 
+        # loss_vec is rank-1 [B]: shard it over 'data' only (the image
+        # shardings carry the spatial 'model' axis, a vector cannot)
+        loss_sh = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec('data'))
         return jax.jit(
             step_fn,
             in_shardings=(self._rep, self._data_sh),
-            out_shardings=(self._data_sh, self._data_sh, self._data_sh),
+            out_shardings=(loss_sh, self._data_sh, self._data_sh),
         )
 
     def _eval_dataset(self, eval_step, dataset, metrics, extra_cb=None):

@@ -145,3 +145,55 @@ def test_spatial_partition_matches_single_device():
     out = _run(['-c', SPATIAL_SCRIPT])
     assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-2000:])
     assert 'SPATIAL_OK' in out.stdout
+
+
+EVAL_SPATIAL_SCRIPT = r'''
+import jax, numpy as np, yaml
+assert len(jax.devices()) == 8, jax.devices()
+from dnncancerannotator_tpu import engine as engine_lib
+from dnncancerannotator_tpu.parallel import mesh as mesh_lib
+
+CONFIG = {
+    'model': 'UNetAnnotator',
+    'model_options': dict(n_filters_first=2, n_downsample=2, rate=2,
+                          kernel_size=3, conv_stride=1, bn=False,
+                          padding='same'),
+    'deploy_options': {
+        'optimizer': 'adam',
+        'loss': {'class_name': 'WeightedCrossentropy',
+                 'config': {'weight_mul': 3.0}},
+        'enable_multigpu': True,
+    },
+}
+
+SLICE_TYPES = ('TRA', 'ADC', 'label')
+rng = np.random.default_rng(0)
+raw = rng.integers(0, 255, (8, 128, 128, 3), np.uint8)
+
+results = {}
+for spatial in (2, 1):
+    cfg = yaml.safe_load(yaml.safe_dump(CONFIG))
+    cfg['deploy_options']['spatial_partition'] = spatial
+    if spatial == 1:
+        cfg['deploy_options']['enable_multigpu'] = False
+    eng = engine_lib.Engine(cfg, seed=3)
+    eng.build((8, 128, 128, 2))
+    assert eng.mesh.shape['model'] == spatial
+    eval_step = eng._make_eval_step(SLICE_TYPES)
+    raw_dev, n = mesh_lib.shard_batch(eng.mesh, raw)
+    loss, probs, y = eval_step(eng.state, raw_dev)
+    results[spatial] = (float(jax.numpy.mean(loss)), np.asarray(probs))
+
+np.testing.assert_allclose(results[2][0], results[1][0], rtol=2e-4)
+np.testing.assert_allclose(results[2][1], results[1][1], atol=2e-4)
+print('EVAL_SPATIAL_OK', results[2][0])
+'''
+
+
+def test_eval_spatial_partition_matches_single_device():
+    '''Full-resolution evaluation with the image rows sharded over the mesh
+    model axis (ROADMAP eval-time spatial sharding) must reproduce
+    single-device results — the conv halo exchanges are inserted by GSPMD.'''
+    out = _run(['-c', EVAL_SPATIAL_SCRIPT])
+    assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-2000:])
+    assert 'EVAL_SPATIAL_OK' in out.stdout
