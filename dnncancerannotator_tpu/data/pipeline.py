@@ -17,10 +17,13 @@ Parity map to the reference tf.data pipeline (reference: annotator/data.py):
   stay on the host — device batches carry only the image tensor.
 '''
 
+import logging
 import os
 from typing import Iterator
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from . import augment as augment_mod
 from . import records
@@ -277,9 +280,18 @@ class TrainDataset:
             for ei in range(len(source)):
                 n = source.exam(ei)['slices'].shape[0]
                 items.extend((si, ei, sj) for sj in range(n))
-            per_source.append(items)
+            # an empty source (e.g. a 0-record .tfrecords file) contributes
+            # nothing, same as the native path's _source_stream
+            if items:
+                per_source.append(items)
         index = []
         if self.normalize_exams and len(per_source) > 1:
+            logger.warning(
+                'loader: grain approximates normalize_exams by equalizing '
+                'per-source index counts per epoch (each draw is '
+                'equal-probability across sources, but without replacement '
+                'within an epoch); the native loader samples sources with '
+                'replacement — reference data.py:515-525 semantics.')
             target = max(len(it) for it in per_source)
             for items in per_source:
                 reps = -(-target // len(items))

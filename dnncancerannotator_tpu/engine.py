@@ -626,109 +626,115 @@ class Engine:
             return dict(losses=losses, probs=probs, y=y, k=k,
                         at_boundary=issued == boundary)
 
-        while step < max_steps or pending is not None:
-            if preempted:
-                stop = True
-            if profile and step >= start_step + 200 and save_path and \
-                    not getattr(self, '_profiling', False):
-                jax.profiler.start_trace(
-                    os.path.join(save_path, 'tfevents', 'profile'))
-                self._profiling = True
-
-            if pending is None:
-                pending = issue_chunk()
-            chunk = pending
-            # overlap: enqueue the next chunk behind this one unless this one
-            # must be drained first (boundary bookkeeping mutates self.state
-            # via checkpoint/eval) or we're out of steps / stopping
-            pending = None
-            if not chunk['at_boundary'] and not stop and issued < max_steps:
-                pending = issue_chunk()
-
-            probs, y = chunk['probs'], chunk['y']
-            losses = np.atleast_1d(np.asarray(chunk['losses'])).tolist()
-            # the loss scalar comes back to the host anyway — fail fast on
-            # numeric blowup instead of training onward on garbage
-            if not all(map(np.isfinite, losses)):
-                raise FloatingPointError(
-                    f'non-finite loss at step ~{step + 1}: {losses}')
-
-            if profile and getattr(self, '_profiling', False) and \
-                    step >= start_step + 200 + 10:
-                jax.profiler.stop_trace()
-                self._profiling = False
-
-            boundary = step + chunk['k']
-            for inner_loss in losses:
-                step += 1
-                n_done += 1
-                logs = {'loss': float(inner_loss),
-                        'lr': float(self.schedule(step - 1))}
-                # train metrics per step when stepping singly; once per
-                # dispatch chunk otherwise (probs/y are the scan's last
-                # inner step — the finest granularity the device loop keeps)
-                if spc == 1 or step == boundary:
-                    for metric in train_metrics:
-                        metric.reset_state()
-                        metric.update_state(y, probs)
-                        value = metric.result()
-                        if np.ndim(value) == 0:
-                            logs[metric.name] = float(value)
-
-                do_val = (step % save_freq == 0) or step == max_steps
-                if do_val and val_data is not None:
-                    val_metrics = self._build_metrics()
-                    val_results = self._eval_dataset(
-                        eval_step, val_data, val_metrics)
-                    logs.update({f'val_{k}': v
-                                 for k, v in val_results.items()
-                                 if np.ndim(v) == 0})
-                    if logs['val_loss'] < best_val:
-                        best_val = logs['val_loss']
-                        best_step = step
-
-                results.append(step, {k: v for k, v in logs.items()
-                                      if np.ndim(v) == 0})
-                if writer:
-                    for k_, v in logs.items():
-                        if np.ndim(v) == 0:
-                            writer.scalar(f'epoch_{k_}' if k_ in (
-                                'loss',) else k_, v, step)
-                if progress is not None:
-                    progress.update(1)
-                if step % log_every == 0 or step == max_steps:
-                    rate = n_done / (time.perf_counter() - t_start)
-                    logger.info('step %d/%d loss=%.4f (%.2f steps/s)',
-                                step, max_steps, logs['loss'], rate)
-
-                if do_val and ckpt_dir:
-                    self.save_ckpt(ckpt_dir, step)
-                if do_val:
-                    for cb in viz_callbacks:
-                        cb.on_step(self, step)
-
-            if early_stop_steps is not None and val_data is not None:
-                if step - best_step >= early_stop_steps:
-                    logger.warning('Early stopping at step %d (best %d)',
-                                   step, best_step)
+        # An exception mid-train (non-finite loss, checkpoint/eval
+        # failure) must not leave the no-op SIGTERM handler installed
+        # or progress bars / event files dangling: restore and close
+        # in finally.
+        try:
+            while step < max_steps or pending is not None:
+                if preempted:
                     stop = True
-            if stop and pending is None:
-                break
+                if profile and step >= start_step + 200 and save_path and \
+                        not getattr(self, '_profiling', False):
+                    jax.profiler.start_trace(
+                        os.path.join(save_path, 'tfevents', 'profile'))
+                    self._profiling = True
 
-        if old_handler is not None:
-            signal_mod.signal(signal_mod.SIGTERM, old_handler)
-        self.current_step = step
+                if pending is None:
+                    pending = issue_chunk()
+                chunk = pending
+                # overlap: enqueue the next chunk behind this one unless this one
+                # must be drained first (boundary bookkeeping mutates self.state
+                # via checkpoint/eval) or we're out of steps / stopping
+                pending = None
+                if not chunk['at_boundary'] and not stop and issued < max_steps:
+                    pending = issue_chunk()
+
+                probs, y = chunk['probs'], chunk['y']
+                losses = np.atleast_1d(np.asarray(chunk['losses'])).tolist()
+                # the loss scalar comes back to the host anyway — fail fast on
+                # numeric blowup instead of training onward on garbage
+                if not all(map(np.isfinite, losses)):
+                    raise FloatingPointError(
+                        f'non-finite loss at step ~{step + 1}: {losses}')
+
+                if profile and getattr(self, '_profiling', False) and \
+                        step >= start_step + 200 + 10:
+                    jax.profiler.stop_trace()
+                    self._profiling = False
+
+                boundary = step + chunk['k']
+                for inner_loss in losses:
+                    step += 1
+                    n_done += 1
+                    logs = {'loss': float(inner_loss),
+                            'lr': float(self.schedule(step - 1))}
+                    # train metrics per step when stepping singly; once per
+                    # dispatch chunk otherwise (probs/y are the scan's last
+                    # inner step — the finest granularity the device loop keeps)
+                    if spc == 1 or step == boundary:
+                        for metric in train_metrics:
+                            metric.reset_state()
+                            metric.update_state(y, probs)
+                            value = metric.result()
+                            if np.ndim(value) == 0:
+                                logs[metric.name] = float(value)
+
+                    do_val = (step % save_freq == 0) or step == max_steps
+                    if do_val and val_data is not None:
+                        val_metrics = self._build_metrics()
+                        val_results = self._eval_dataset(
+                            eval_step, val_data, val_metrics)
+                        logs.update({f'val_{k}': v
+                                     for k, v in val_results.items()
+                                     if np.ndim(v) == 0})
+                        if logs['val_loss'] < best_val:
+                            best_val = logs['val_loss']
+                            best_step = step
+
+                    results.append(step, {k: v for k, v in logs.items()
+                                          if np.ndim(v) == 0})
+                    if writer:
+                        for k_, v in logs.items():
+                            if np.ndim(v) == 0:
+                                writer.scalar(f'epoch_{k_}' if k_ in (
+                                    'loss',) else k_, v, step)
+                    if progress is not None:
+                        progress.update(1)
+                    if step % log_every == 0 or step == max_steps:
+                        rate = n_done / (time.perf_counter() - t_start)
+                        logger.info('step %d/%d loss=%.4f (%.2f steps/s)',
+                                    step, max_steps, logs['loss'], rate)
+
+                    if do_val and ckpt_dir:
+                        self.save_ckpt(ckpt_dir, step)
+                    if do_val:
+                        for cb in viz_callbacks:
+                            cb.on_step(self, step)
+
+                if early_stop_steps is not None and val_data is not None:
+                    if step - best_step >= early_stop_steps:
+                        logger.warning('Early stopping at step %d (best %d)',
+                                       step, best_step)
+                        stop = True
+                if stop and pending is None:
+                    break
+
+        finally:
+            if old_handler is not None:
+                signal_mod.signal(signal_mod.SIGTERM, old_handler)
+            self.current_step = step
+            if progress is not None:
+                progress.close()
+            if writer:
+                writer.close()
+            for cb in viz_callbacks:
+                cb.close()
         if preempted and ckpt_dir and step % save_freq != 0:
             logger.warning(
                 'Preempted (SIGTERM) at step %d: saving checkpoint', step)
             self.save_ckpt(ckpt_dir, step)
         self.finalize_checkpoints()
-        if progress is not None:
-            progress.close()
-        if writer:
-            writer.close()
-        for cb in viz_callbacks:
-            cb.close()
         return results
 
     # ------------------------------------------------------------------
@@ -780,7 +786,13 @@ class Engine:
                 export_csv=export_csv,
                 visualize_sensitivity=visualize_sensitivity,
                 overlay=overlay,
-                export_casewise_metrics=True,
+                # The reference hardcodes True here and never reads its own
+                # eval flag (engine.py:153,180) — computing the per-case
+                # region counts even when nothing consumes them. Rows are
+                # only consumed when export_csv (container + per-slice CSVs)
+                # or when explicitly requested, so gate on that.
+                export_casewise_metrics=(
+                    export_casewise_metrics or export_csv),
                 casewise_metrics_container=casewise_container,
             )
 

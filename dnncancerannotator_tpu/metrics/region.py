@@ -249,12 +249,23 @@ class _RegionBasedMetric:
     def update_state(self, y_true, y_pred, sample_weight=None):
         if sample_weight is not None:
             raise NotImplementedError
+        self.update_state_raw(y_true, y_pred)
+
+    def update_state_raw(self, y_true, y_pred):
+        '''Accumulate AND return the per-image (tp, fn, fp) [B, T] counts.
+
+        Lets callers that need both the aggregate confusion and per-case
+        rows (Visualizer casewise export, reference callbacks.py:319-344)
+        run the expensive region computation once instead of calling
+        ``update_state`` and ``get_tp_fn_fp(return_raw=True)`` back to back.
+        '''
         tp, fn, tp_pred, fp = self._raw(y_true, y_pred)
         self.tp_count = self.tp_count + np.asarray(tp.sum(0), np.int64)
         self.fn_count = self.fn_count + np.asarray(fn.sum(0), np.int64)
         self.fp_count = self.fp_count + np.asarray(fp.sum(0), np.int64)
         self.tp_pred_count = self.tp_pred_count + np.asarray(
             tp_pred.sum(0), np.int64)
+        return np.asarray(tp), np.asarray(fn), np.asarray(fp)
 
     # alias matching our engine's metric protocol
     update = update_state

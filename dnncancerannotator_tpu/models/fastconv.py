@@ -25,7 +25,7 @@ from jax import lax
 _SMALL_CHANNEL_LIMIT = 32
 
 
-def _pallas_conv_ok(xshape, wshape, nchw=False):
+def _pallas_conv_ok(xshape, wshape, nchw=False, bwd=False):
     '''Use the fused Pallas conv on a single TPU device; fall back to the
     XLA stencil on CPU and under multi-device SPMD (pallas_call is not
     auto-partitioned by GSPMD). Same gating idiom as ops/warp.py.'''
@@ -38,7 +38,7 @@ def _pallas_conv_ok(xshape, wshape, nchw=False):
         else:
             b, h, wd, _ = xshape
         kh, kw, ci, co = wshape
-        return supported(b, h, wd, kh, kw, ci, co)
+        return supported(b, h, wd, kh, kw, ci, co, bwd=bwd)
     except Exception:
         return False
 
@@ -139,7 +139,7 @@ def _stencil_s1_bwd(pads, relu, nchw, res, g):
     oh, ow = g.shape[sp[0]], g.shape[sp[1]]
     if relu:
         g = jnp.where(out > 0, g, 0).astype(g.dtype)
-    if _pallas_conv_ok(g.shape, w.shape, nchw):
+    if _pallas_conv_ok(x.shape, w.shape, nchw, bwd=True):
         from ..ops.pallas.conv_kernel import stencil_conv2d_bwd_pallas
         dx, dw, db = stencil_conv2d_bwd_pallas(x, g, w, pads=pads, nchw=nchw)
         return dx.astype(x.dtype), dw.astype(w.dtype), db.astype(x.dtype)

@@ -56,11 +56,26 @@ def _kernel(w_ref, b_ref, x_ref, out_ref, sh_ref, *, kh, kw, ci, co,
             out_ref[0, o] = jnp.maximum(out_ref[0, o], 0.0)
 
 
-def supported(b, h, w, kh, kw, ci, co):
-    '''f32 whole-image-per-program kernel: bound VMEM and unroll size.'''
+def supported(b, h, w, kh, kw, ci, co, bwd=False):
+    '''f32 whole-image-per-program kernel: bound VMEM and unroll size.
+
+    ``bwd`` models the backward kernel, which keeps xp/gp/gc input blocks,
+    the dx output block and two shift scratches resident (~2x the forward
+    footprint) — gating both directions on the forward bound let shapes
+    near the limit pass at trace time and fail at backward compile.
+    '''
     if kh * kw * ci * co > 1024:  # unrolled terms; keep compile time sane
         return False
-    per_program = 4 * (ci * (h + kh - 1) * (w + kw - 1) + 2 * co * h * w)
+    hp, wp = h + kh - 1, w + kw - 1
+    if bwd:
+        per_program = 4 * (
+            2 * (ci * hp * wp      # xp block (double-buffered)
+                 + co * hp * wp    # gp block
+                 + co * h * w      # gc block
+                 + ci * h * w)     # dx block
+            + 2 * hp * w)          # shift scratches
+    else:
+        per_program = 4 * (ci * hp * wp + 2 * co * h * w)
     return per_program < _VMEM_LIMIT_BYTES
 
 
@@ -216,6 +231,10 @@ def stencil_conv2d_bwd_pallas(x, g, w, pads=((1, 1), (1, 1)), nchw=False,
             pltpu.VMEM((h + kh - 1, wd), jnp.float32),
             pltpu.VMEM((hp, ow), jnp.float32),
         ],
+        # headroom over XLA's default 16 MB scoped VMEM: the bwd kernel's
+        # resident set is ~2x the forward's (see supported(bwd=True))
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(wvec, xp, gp, gc)
     return (dx if nchw else jnp.transpose(dx, (0, 2, 3, 1)),

@@ -174,12 +174,12 @@ class Visualizer:
 
             for metric in pixel_suite.values():
                 metric.update_state(y, probs)
-            region_cm.update_state(y, probs)
-
+            # single region pass: accumulate the PR-curve confusion and keep
+            # the per-image rows when the casewise export needs them
             if self.export_casewise_metrics:
-                tp_raw, fn_raw, fp_raw = region_cm.get_tp_fn_fp(
-                    y, probs, None, return_raw=True)
+                tp_raw, fn_raw, fp_raw = region_cm.update_state_raw(y, probs)
             else:
+                region_cm.update_state(y, probs)
                 tp_raw = fn_raw = fp_raw = [None] * n
 
             for i in range(n):

@@ -16,6 +16,7 @@
 #include <cstddef>
 #include <cstdint>
 #include <cstring>
+#include <initializer_list>
 
 namespace {
 
@@ -56,7 +57,11 @@ bool for_fields(const uint8_t* p, const uint8_t* end, F&& cb) {
       cb(field, wire, Slice{nullptr, 0}, val);
     } else if (wire == 2) {  // length-delimited
       uint64_t n;
-      if (!read_varint(p, end, &n) || p + n > end) return false;
+      // compare without pointer arithmetic: a huge crafted n would wrap
+      // p + n (UB) and could pass a p + n > end check
+      if (!read_varint(p, end, &n) ||
+          n > static_cast<uint64_t>(end - p))
+        return false;
       cb(field, wire, Slice{p, static_cast<size_t>(n)}, 0);
       p += n;
     } else if (wire == 5) {  // 32-bit
@@ -272,7 +277,17 @@ int64_t exam_decode(const uint8_t* rec, int64_t len,
     }
   }
   const int64_t S = dims[0], H = dims[1], W = dims[2], C = dims[3];
-  if (static_cast<int64_t>(content.n) != S * H * W * C) return -2;
+  // validate dims and compute S*H*W*C with overflow checks: a crafted
+  // shape can overflow int64 and collide with content.n, bypassing the
+  // size validation the copy loops below rely on
+  if (S <= 0 || H <= 0 || W <= 0 || C <= 0) return -2;
+  uint64_t total = static_cast<uint64_t>(S);
+  const uint64_t kMax = static_cast<uint64_t>(INT64_MAX);
+  for (int64_t d : {H, W, C}) {
+    if (total > kMax / static_cast<uint64_t>(d)) return -2;
+    total *= static_cast<uint64_t>(d);
+  }
+  if (static_cast<uint64_t>(content.n) != total) return -2;
 
   if (shape_out) {
     shape_out[0] = S; shape_out[1] = H; shape_out[2] = W; shape_out[3] = C;

@@ -28,7 +28,9 @@ def make_exam_tree(root, n_patients=2, n_slices=3, size=64,
                 os.makedirs(os.path.join(exam_dir, t), exist_ok=True)
             for s in range(1, n_slices + 1):
                 cy, cx = rng.integers(16, size - 16, 2)
-                r = rng.integers(5, 10)
+                # lesion radius scales with image size (5-10 px at the
+                # 64² test fixture size; 16-32 px at 256²)
+                r = rng.integers(max(5, size // 16), max(10, size // 8))
                 for t in slice_types:
                     if t == 'label':
                         if category == 'healthy':
