@@ -422,7 +422,7 @@ class Engine:
         loss_obj = self.loss
         model = self.model
 
-        def step_fn(state, raw_batch):
+        def step_fn(state, raw_batch, n_valid):
             images = raw_batch.astype(jnp.float32) / 255.0
             x, y = augment_mod.to_feature_label(images, slice_types)
             variables = {'params': state['params']}
@@ -430,7 +430,9 @@ class Engine:
                 variables['batch_stats'] = state['batch_stats']
             logits = model.apply(
                 variables, x, training=False, return_logits=True)
-            loss_vec = loss_obj.per_sample(y, logits)
+            # n_valid confines the batch-dependent auto loss weight to the
+            # real (unpadded) slices — reference unpadded-batch semantics
+            loss_vec = loss_obj.per_sample(y, logits, n_valid=n_valid)
             probs = jax.nn.sigmoid(logits)
             return loss_vec, probs, y
 
@@ -440,7 +442,7 @@ class Engine:
             self.mesh, jax.sharding.PartitionSpec('data'))
         return jax.jit(
             step_fn,
-            in_shardings=(self._rep, self._data_sh),
+            in_shardings=(self._rep, self._data_sh, self._rep),
             out_shardings=(loss_sh, self._data_sh, self._data_sh),
         )
 
@@ -454,7 +456,8 @@ class Engine:
                 pad = dataset.batch_size - n
                 raw = np.concatenate([raw, np.repeat(raw[-1:], pad, 0)], 0)
             raw_dev, _ = mesh_lib.shard_batch(self.mesh, raw)
-            loss_vec, probs, y = eval_step(self.state, raw_dev)
+            loss_vec, probs, y = eval_step(
+                self.state, raw_dev, jnp.int32(n))
             losses.append(np.asarray(loss_vec)[:n])
             y_host, p_host = y[:n], probs[:n]
             for metric in metrics:
@@ -840,7 +843,7 @@ class Engine:
                 pad = dataset.batch_size - n
                 raw = np.concatenate([raw, np.repeat(raw[-1:], pad, 0)], 0)
             raw_dev, _ = mesh_lib.shard_batch(self.mesh, raw)
-            _, probs, _ = eval_step(self.state, raw_dev)
+            _, probs, _ = eval_step(self.state, raw_dev, jnp.int32(n))
             outputs.append(np.asarray(probs)[:n])
         return np.concatenate(outputs, 0) if outputs else np.zeros((0,))
 

@@ -37,12 +37,17 @@ def positive_rate(label):
 
 
 def weighted_crossentropy(labels, logits, weight=None, weight_add=0.0,
-                          weight_mul=1.0):
+                          weight_mul=1.0, n_valid=None):
     '''Per-sample weighted BCE.
 
     Args:
         labels: [B, H, W] float labels in [0, 1].
         logits: [B, H, W] or [B, H, W, 1] logits.
+        n_valid: optional count of real samples at the front of the batch;
+            the auto positive-rate weight is computed over those only.
+            Evaluation pads partial batches by repeating slices, which
+            would otherwise shift the batch-dependent weight away from the
+            reference's unpadded semantics (losses.py:25-27).
 
     Returns:
         [B] per-sample loss (mean over pixels).
@@ -56,7 +61,15 @@ def weighted_crossentropy(labels, logits, weight=None, weight_add=0.0,
     # deploy_options.debug_asserts functionalizes the step
     checks.check_range(labels, 0.0, 1.0, 'labels')
     if weight is None:
-        rate = positive_rate(labels)
+        if n_valid is None:
+            rate = positive_rate(labels)
+        else:
+            valid = (jnp.arange(labels.shape[0]) < n_valid).astype(
+                jnp.float32)
+            pos = jnp.sum(jnp.sum(labels, axis=(1, 2)) * valid)
+            denom = n_valid.astype(jnp.float32) * labels.shape[1] * \
+                labels.shape[2]
+            rate = pos / jnp.maximum(denom, 1.0)
         checks.check_range(rate, 0.0, 1.0, 'positive_rate')
         weight = jnp.where(rate > 0.0, 1.0 / jnp.maximum(rate, 1e-12), 1.0)
     weight = weight_mul * weight + weight_add
@@ -82,7 +95,7 @@ class WeightedCrossentropy:
         self.label_smoothing_filter_size = label_smoothing_filter_size
         self.label_smoothing_sigma = label_smoothing_sigma
 
-    def per_sample(self, labels, logits):
+    def per_sample(self, labels, logits, n_valid=None):
         if self.label_smoothing:
             labels = gaussian_filter2d(
                 labels[..., None],
@@ -90,7 +103,7 @@ class WeightedCrossentropy:
                 sigma=self.label_smoothing_sigma)[..., 0]
         return weighted_crossentropy(
             labels, logits, weight=self.weight, weight_add=self.weight_add,
-            weight_mul=self.weight_mul)
+            weight_mul=self.weight_mul, n_valid=n_valid)
 
     def __call__(self, labels, logits):
         return jnp.mean(self.per_sample(labels, logits))

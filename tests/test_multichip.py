@@ -181,7 +181,7 @@ for spatial in (2, 1):
     assert eng.mesh.shape['model'] == spatial
     eval_step = eng._make_eval_step(SLICE_TYPES)
     raw_dev, n = mesh_lib.shard_batch(eng.mesh, raw)
-    loss, probs, y = eval_step(eng.state, raw_dev)
+    loss, probs, y = eval_step(eng.state, raw_dev, jax.numpy.int32(8))
     results[spatial] = (float(jax.numpy.mean(loss)), np.asarray(probs))
 
 np.testing.assert_allclose(results[2][0], results[1][0], rtol=2e-4)

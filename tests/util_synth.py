@@ -14,10 +14,20 @@ def _circle(size, cy, cx, r):
 
 def make_exam_tree(root, n_patients=2, n_slices=3, size=64,
                    slice_types=SLICE_TYPES, categories=('cancer', 'healthy'),
-                   seed=0):
-    '''Write a synthetic PNG exam tree; returns the root.'''
+                   seed=0, center_box=None, r_range=None):
+    '''Write a synthetic PNG exam tree; returns the root.
+
+    ``center_box``: optional (lo, hi) range for lesion centers (default:
+    anywhere with a 16 px margin) — the parity harness confines lesions to
+    the region that survives the reference's 512->output center crop.
+    ``r_range``: optional (lo, hi) lesion radius range (default scales
+    with image size: 5-10 px at the 64² test fixture size).
+    '''
     from PIL import Image
     rng = np.random.default_rng(seed)
+    lo, hi = center_box if center_box else (16, size - 16)
+    r_lo, r_hi = r_range if r_range else (max(5, size // 16),
+                                          max(10, size // 8))
     for category in categories:
         for pid in range(1, n_patients + 1):
             eid = 1
@@ -27,10 +37,8 @@ def make_exam_tree(root, n_patients=2, n_slices=3, size=64,
                     continue
                 os.makedirs(os.path.join(exam_dir, t), exist_ok=True)
             for s in range(1, n_slices + 1):
-                cy, cx = rng.integers(16, size - 16, 2)
-                # lesion radius scales with image size (5-10 px at the
-                # 64² test fixture size; 16-32 px at 256²)
-                r = rng.integers(max(5, size // 16), max(10, size // 8))
+                cy, cx = rng.integers(lo, hi, 2)
+                r = rng.integers(r_lo, r_hi)
                 for t in slice_types:
                     if t == 'label':
                         if category == 'healthy':

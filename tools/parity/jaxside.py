@@ -46,20 +46,45 @@ def _size_overlay(out_dir, size):
     return path
 
 
+def _eval_overlay(out_dir, size):
+    '''Single overlay with metrics + size as dotted keys: evaluate()'s
+    overlay list is pre-merged by load_config, which expands dotted keys —
+    a plain nested ``data_options`` key would then REPLACE the recorded
+    section wholesale (reference apply_config semantics).'''
+    import yaml
+    with open(f'{CONFIG_DIR}/additionals/metrics.yaml') as f:
+        overlay = yaml.safe_load(f)
+    overlay['data_options.eval.output_size'] = [size, size]
+    path = os.path.join(out_dir, f'eval_overlay_{size}.yaml')
+    with open(path, 'w') as f:
+        yaml.safe_dump(overlay, f)
+    return path
+
+
 def cmd_data(args):
+    '''Exams are written at the production 512² size — the reference's
+    ``base()`` center-crops to 512 with no pad (data.py:196-203) and
+    asserts on smaller sources. Lesions are confined to the central
+    region that survives the 512 -> output_size center crop, with 16-32 px
+    radii (robust to the metric suite's 0.5 resize + 5 px opening).
+    '''
     from util_synth import make_exam_tree, SLICE_TYPES
     from dnncancerannotator_tpu.data import generate_tfrecords
 
+    exam = 512
+    margin = max(40, (exam - args.size) // 2 + 40)
     os.makedirs(args.out, exist_ok=True)
     for split, n_patients, seed in (('train', 4, 0), ('val', 2, 7)):
         tree = os.path.join(args.out, f'tree_{split}')
         make_exam_tree(tree, n_patients=n_patients, n_slices=6,
-                       size=args.size, seed=seed)
+                       size=exam, seed=seed,
+                       center_box=(margin, exam - margin),
+                       r_range=(16, 32))
         for category in ('cancer', 'healthy'):
             out = os.path.join(args.out, f'{split}_{category}.tfrecords')
             generate_tfrecords(tree, out, category=category,
                                slice_types=SLICE_TYPES,
-                               output_size=(args.size, args.size))
+                               output_size=(exam, exam))
     print(json.dumps({'phase': 'data', 'out': args.out}))
 
 
@@ -81,12 +106,12 @@ def cmd_train(args):
 def cmd_eval(args):
     from dnncancerannotator_tpu.runs import evaluate as eval_mod
 
-    overlay = _size_overlay(args.save, args.size)
+    overlay = _eval_overlay(args.save, args.size)
     eval_mod.evaluate(
         save_path=args.save,
         data_path=list(args.data),
         tag='parity',
-        config=[f'{CONFIG_DIR}/additionals/metrics.yaml', overlay],
+        config=[overlay],
         export_csv=True,
         skip_visualization=True,
         avoid_overwrite=True,
@@ -175,7 +200,7 @@ def cmd_xeval(args):
         save_path=args.save,
         data_path=list(args.data),
         tag='parity',
-        config=[f'{CONFIG_DIR}/additionals/metrics.yaml', overlay],
+        config=[_eval_overlay(args.save, args.size)],
         export_csv=True,
         skip_visualization=True,
         avoid_overwrite=True,

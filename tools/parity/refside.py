@@ -97,6 +97,14 @@ def cmd_eval(args):
     '''
     import pandas as pd
     from annotator import data, engine
+    from annotator.utils import metrics as ref_metrics
+
+    # Dormant reference bug, fatal under tf_keras 2.21 (which str()s
+    # metrics via get_config): FBetaScore.get_config reads a
+    # ``resize_factor`` attribute that only the region metrics define
+    # (reference utils/metrics.py:75). Class default keeps get_config
+    # total without changing any metric math.
+    ref_metrics.FBetaScore.resize_factor = None
 
     cfg = _load_config(args.size, metrics=True)
     model = engine.TFKerasModel(cfg)
