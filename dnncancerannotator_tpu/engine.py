@@ -307,7 +307,16 @@ class Engine:
         model = self.model
         reg_fn = self._reg_loss
 
+        mesh = self.mesh
+
         def one_step(state, raw_batch, key):
+            # trace-time announcement: Pallas kernels (conv/chain/warp) may
+            # run shard_mapped over this mesh's data axis instead of
+            # falling back to XLA under multi-device SPMD
+            with mesh_lib.pallas_spmd(mesh):
+                return _one_step_body(state, raw_batch, key)
+
+        def _one_step_body(state, raw_batch, key):
             key = jax.random.fold_in(key, state['step'])
             images = raw_batch.astype(jnp.float32) / 255.0
             images = aug_fn(images, key)
@@ -422,7 +431,13 @@ class Engine:
         loss_obj = self.loss
         model = self.model
 
+        mesh = self.mesh
+
         def step_fn(state, raw_batch, n_valid):
+            with mesh_lib.pallas_spmd(mesh):
+                return _step_body(state, raw_batch, n_valid)
+
+        def _step_body(state, raw_batch, n_valid):
             images = raw_batch.astype(jnp.float32) / 255.0
             x, y = augment_mod.to_feature_label(images, slice_types)
             variables = {'params': state['params']}

@@ -183,19 +183,27 @@ class _RegionBasedMetric:
         until everything fits — matching the reference's exact ragged
         semantics (metrics.py:261,300) without dynamic shapes under jit.
         '''
+        from ..parallel import mesh as mesh_lib
         y_true, y_pred = jnp.asarray(y_true), jnp.asarray(y_pred)
+        if jax.device_count() > 1 and jax.default_backend() != 'cpu':
+            # pin the confusion pass to one chip so the Pallas CCA kernel
+            # stays eligible on multi-device hosts
+            dev = jax.devices()[0]
+            y_true = jax.device_put(y_true, dev)
+            y_pred = jax.device_put(y_pred, dev)
         lcap, pcap = self.max_label_regions, self.max_pred_regions
         while True:
             # one-hot memory scales with pcap: shrink the vmapped chunk as
             # the capacity grows so peak HBM stays roughly constant
             chunk = max(1, (4 * 64) // max(pcap, 64))
-            tp, fn, tp_pred, fp, n_lab, n_pred = region_confusion_batch(
-                y_true, y_pred, self.thresholds,
-                iou_threshold=self.IoU_threshold,
-                resize_factor=self.resize_factor,
-                morph_filter_size=self.morph_filter_size,
-                max_label_regions=lcap, max_pred_regions=pcap,
-                batch_chunk=chunk)
+            with mesh_lib.pallas_single_device():
+                tp, fn, tp_pred, fp, n_lab, n_pred = region_confusion_batch(
+                    y_true, y_pred, self.thresholds,
+                    iou_threshold=self.IoU_threshold,
+                    resize_factor=self.resize_factor,
+                    morph_filter_size=self.morph_filter_size,
+                    max_label_regions=lcap, max_pred_regions=pcap,
+                    batch_chunk=chunk)
             need_l = int(np.asarray(n_lab).max(initial=0))
             need_p = int(np.asarray(n_pred).max(initial=0))
             if need_l <= lcap and need_p <= pcap:

@@ -20,24 +20,65 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from ..parallel import mesh as mesh_lib
 
 # use the stencil path when the padded-MXU waste dominates
 _SMALL_CHANNEL_LIMIT = 32
 
 
+def _conv_spmd_mesh(b):
+    '''Mesh to shard_map a Pallas kernel over (batch split on ``data``),
+    or None when no SPMD context is active / the batch does not divide.'''
+    mesh = mesh_lib.current_spmd_mesh()
+    if mesh is not None and b % mesh.shape['data'] == 0:
+        return mesh
+    return None
+
+
+def _shard_map_batch(fn, mesh, n_batch_in, n_out, reduced_out=()):
+    '''shard_map ``fn`` over the mesh ``data`` axis: the first
+    ``n_batch_in`` args are batch-sharded on dim 0, the rest replicated;
+    outputs listed in ``reduced_out`` are psum-reduced weight/bias
+    gradients, the others batch-sharded.'''
+    def local(*args):
+        outs = fn(*args)
+        outs = outs if isinstance(outs, tuple) else (outs,)
+        return tuple(
+            jax.lax.psum(o, 'data') if i in reduced_out else o
+            for i, o in enumerate(outs))
+
+    def wrapped(*args):
+        in_specs = tuple(P('data') if i < n_batch_in else P()
+                         for i in range(len(args)))
+        out_specs = tuple(P() if i in reduced_out else P('data')
+                          for i in range(n_out))
+        # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+        # annotation, which the checker (jax>=0.7) otherwise rejects
+        outs = jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)(*args)
+        return outs[0] if n_out == 1 else outs
+
+    return wrapped
+
+
 def _pallas_conv_ok(xshape, wshape, nchw=False, bwd=False):
-    '''Use the fused Pallas conv on a single TPU device; fall back to the
-    XLA stencil on CPU and under multi-device SPMD (pallas_call is not
-    auto-partitioned by GSPMD). Same gating idiom as ops/warp.py.'''
+    '''Use the fused Pallas conv on a single TPU device or — under an
+    engine-announced SPMD mesh (mesh_lib.pallas_spmd) — shard_mapped over
+    the ``data`` axis; fall back to the XLA stencil on CPU (unless the
+    interpret-mode test override is set) and under spatial partitioning.'''
     try:
-        if jax.default_backend() == 'cpu' or jax.device_count() != 1:
+        if jax.default_backend() == 'cpu' and not mesh_lib.pallas_interpret():
             return False
-        from ..ops.pallas.conv_kernel import supported
         if nchw:
             b, _, h, wd = xshape
         else:
             b, h, wd, _ = xshape
+        if jax.device_count() != 1 and _conv_spmd_mesh(b) is None:
+            return False
         kh, kw, ci, co = wshape
+        from ..ops.pallas.conv_kernel import supported
         return supported(b, h, wd, kh, kw, ci, co, bwd=bwd)
     except Exception:
         return False
@@ -118,8 +159,13 @@ def _stencil_conv2d_s1(x, w, b, pads, relu, nchw=False):
     out_w = wd + pads[1][0] + pads[1][1] - kw + 1
     if _pallas_conv_ok(x.shape, w.shape, nchw):
         from ..ops.pallas.conv_kernel import stencil_conv2d_pallas
-        return stencil_conv2d_pallas(
-            x, w, b, pads=pads, relu=relu, nchw=nchw).astype(x.dtype)
+        fn = functools.partial(
+            stencil_conv2d_pallas, pads=pads, relu=relu, nchw=nchw,
+            interpret=mesh_lib.pallas_interpret())
+        mesh = _conv_spmd_mesh(x.shape[0])
+        if mesh is not None and jax.device_count() != 1:
+            fn = _shard_map_batch(fn, mesh, n_batch_in=1, n_out=1)
+        return fn(x, w, b).astype(x.dtype)
     out = _stencil_conv2d_raw(x, w, (1, 1), pads, out_h, out_w, nchw=nchw)
     bb = b.reshape(1, -1, 1, 1) if nchw else b
     out = out + bb.astype(out.dtype)
@@ -141,7 +187,15 @@ def _stencil_s1_bwd(pads, relu, nchw, res, g):
         g = jnp.where(out > 0, g, 0).astype(g.dtype)
     if _pallas_conv_ok(x.shape, w.shape, nchw, bwd=True):
         from ..ops.pallas.conv_kernel import stencil_conv2d_bwd_pallas
-        dx, dw, db = stencil_conv2d_bwd_pallas(x, g, w, pads=pads, nchw=nchw)
+        fn = functools.partial(stencil_conv2d_bwd_pallas, pads=pads,
+                               nchw=nchw,
+                               interpret=mesh_lib.pallas_interpret())
+        mesh = _conv_spmd_mesh(x.shape[0])
+        if mesh is not None and jax.device_count() != 1:
+            # dx stays batch-sharded; dw/db are summed across shards
+            fn = _shard_map_batch(fn, mesh, n_batch_in=2, n_out=3,
+                                  reduced_out=(1, 2))
+        dx, dw, db = fn(x, g, w)
         return dx.astype(x.dtype), dw.astype(w.dtype), db.astype(x.dtype)
     wf = w[::-1, ::-1].transpose(0, 1, 3, 2)
     gpads = ((kh - 1 - pads[0][0], kh - 1 - pads[0][1]),
@@ -259,7 +313,7 @@ class Conv2DFast(nn.Module):
         nchw = self.data_format == 'NCHW'
         ci = x.shape[1] if nchw else x.shape[-1]
         kernel = self.param(
-            'kernel', nn.initializers.lecun_normal(),
+            'kernel', nn.initializers.glorot_uniform(),
             (kh, kw, ci, self.features), jnp.float32)
         bias = self.param('bias', nn.initializers.zeros,
                           (self.features,), jnp.float32) \
@@ -303,7 +357,7 @@ class ConvTranspose2DFast(nn.Module):
         nchw = self.data_format == 'NCHW'
         ci = x.shape[1] if nchw else x.shape[-1]
         kernel = self.param(
-            'kernel', nn.initializers.lecun_normal(),
+            'kernel', nn.initializers.glorot_uniform(),
             (kh, kw, ci, self.features), jnp.float32)
         bias = self.param('bias', nn.initializers.zeros,
                           (self.features,), jnp.float32) \
@@ -346,7 +400,7 @@ class _ConvParams(nn.Module):
     @nn.compact
     def __call__(self, ci):
         kh, kw = self.kernel_size
-        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+        kernel = self.param('kernel', nn.initializers.glorot_uniform(),
                             (kh, kw, ci, self.features), jnp.float32)
         bias = self.param('bias', nn.initializers.zeros,
                           (self.features,), jnp.float32)
@@ -356,9 +410,11 @@ class _ConvParams(nn.Module):
 def chain_pallas_ok(xshape, kernel_size, filters, padding):
     '''Static (trace-time) eligibility of the fused NCHW chain kernel.'''
     try:
-        if jax.default_backend() == 'cpu' or jax.device_count() != 1:
+        if jax.default_backend() == 'cpu' and not mesh_lib.pallas_interpret():
             return False
         b, ci, h, w = xshape
+        if jax.device_count() != 1 and _conv_spmd_mesh(b) is None:
+            return False
         if max(ci, filters) > _SMALL_CHANNEL_LIMIT:
             return False
         kh = kw = int(kernel_size)
@@ -371,25 +427,39 @@ def chain_pallas_ok(xshape, kernel_size, filters, padding):
         return False
 
 
+def _chain_call(x, w1, b1, w2, b2, pads):
+    from ..ops.pallas.conv_kernel import conv_chain_pallas
+    fn = functools.partial(conv_chain_pallas, pads=pads,
+                           interpret=mesh_lib.pallas_interpret())
+    mesh = _conv_spmd_mesh(x.shape[0])
+    if mesh is not None and jax.device_count() != 1:
+        fn = _shard_map_batch(fn, mesh, n_batch_in=1, n_out=2)
+    return fn(x, w1, b1, w2, b2)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def conv_chain_nchw(x, w1, b1, w2, b2, pads):
     '''relu(conv(relu(conv(x, w1) + b1), w2) + b2), fused (NCHW).'''
-    from ..ops.pallas.conv_kernel import conv_chain_pallas
-    _, c2 = conv_chain_pallas(x, w1, b1, w2, b2, pads=pads)
+    _, c2 = _chain_call(x, w1, b1, w2, b2, pads)
     return c2.astype(x.dtype)
 
 
 def _chain_fwd(x, w1, b1, w2, b2, pads):
-    from ..ops.pallas.conv_kernel import conv_chain_pallas
-    c1, c2 = conv_chain_pallas(x, w1, b1, w2, b2, pads=pads)
+    c1, c2 = _chain_call(x, w1, b1, w2, b2, pads)
     return c2.astype(x.dtype), (x, w1, w2, c1, c2)
 
 
 def _chain_bwd(pads, res, g):
     x, w1, w2, c1, c2 = res
     from ..ops.pallas.conv_kernel import conv_chain_bwd_pallas
-    dx, dw1, db1, dw2, db2 = conv_chain_bwd_pallas(
-        x, c1, c2, g.astype(jnp.float32), w1, w2, pads=pads)
+    fn = functools.partial(conv_chain_bwd_pallas, pads=pads,
+                           interpret=mesh_lib.pallas_interpret())
+    mesh = _conv_spmd_mesh(x.shape[0])
+    if mesh is not None and jax.device_count() != 1:
+        # dx batch-sharded; the four weight/bias grads summed across shards
+        fn = _shard_map_batch(fn, mesh, n_batch_in=4, n_out=5,
+                              reduced_out=(1, 2, 3, 4))
+    dx, dw1, db1, dw2, db2 = fn(x, c1, c2, g.astype(jnp.float32), w1, w2)
     return (dx.astype(x.dtype), dw1.astype(w1.dtype), db1.astype(x.dtype),
             dw2.astype(w2.dtype), db2.astype(x.dtype))
 

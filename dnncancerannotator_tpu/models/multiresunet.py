@@ -36,6 +36,7 @@ class ConvBN(nn.Module):
             features=self.filters, kernel_size=(self.kernel, self.kernel),
             strides=(self.strides, self.strides), padding='SAME',
             use_bias=False, dtype=self.dtype, name='conv',
+            kernel_init=nn.initializers.glorot_uniform(),
         )(x)
         x = nn.BatchNorm(
             use_running_average=not training, momentum=0.99, epsilon=1e-3,
@@ -57,6 +58,7 @@ class TransConvBN(nn.Module):
         x = nn.ConvTranspose(
             features=self.filters, kernel_size=(2, 2), strides=(2, 2),
             padding='SAME', dtype=self.dtype, name='tconv',
+            kernel_init=nn.initializers.glorot_uniform(),
         )(x)
         x = nn.BatchNorm(
             use_running_average=not training, momentum=0.99, epsilon=1e-3,
@@ -173,6 +175,7 @@ class MultiResUnet(nn.Module):
         logits = nn.Conv(
             features=1, kernel_size=(1, 1), padding='SAME', use_bias=False,
             dtype=dt, name='head_conv',
+            kernel_init=nn.initializers.glorot_uniform(),
         )(m9)
         logits = nn.BatchNorm(
             use_running_average=not training, momentum=0.99, epsilon=1e-3,

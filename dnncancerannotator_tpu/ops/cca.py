@@ -104,12 +104,18 @@ def _compact_from_raw(raw, mask):
 
 
 def _pallas_cca_ok(shape):
-    '''Fused Pallas propagation on a single TPU device with tile-aligned
-    planes (the roll-based lane scan requires the lane dim to be a multiple
-    of 128; pallas_call is not auto-partitioned by GSPMD).'''
+    '''Fused Pallas propagation with tile-aligned planes (the roll-based
+    lane scan requires the lane dim to be a multiple of 128). Allowed on a
+    single TPU device, or on multi-device hosts when the caller pins the
+    computation to one chip (mesh_lib.pallas_single_device — the region
+    metrics path does).'''
     try:
+        from ..parallel import mesh as mesh_lib
         n, h, w = shape
-        if jax.default_backend() == 'cpu' or jax.device_count() != 1:
+        if jax.default_backend() == 'cpu' and not mesh_lib.pallas_interpret():
+            return False
+        if jax.device_count() != 1 and \
+                not mesh_lib.pallas_single_device_active():
             return False
         if h % 8 or w % 128:
             return False
@@ -126,7 +132,9 @@ def connected_components_batch(masks):
     ops/pallas/cca_kernel.py); falls back to the vmapped XLA while_loop.
     '''
     if _pallas_cca_ok(masks.shape):
+        from ..parallel import mesh as mesh_lib
         from .pallas.cca_kernel import cca_raw_labels_pallas
-        raw = cca_raw_labels_pallas(masks)
+        raw = cca_raw_labels_pallas(
+            masks, interpret=mesh_lib.pallas_interpret())
         return jax.vmap(_compact_from_raw)(raw, masks)
     return jax.vmap(connected_components)(masks)

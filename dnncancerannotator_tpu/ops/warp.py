@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.ndimage import map_coordinates
 
+from ..parallel import mesh as mesh_lib
+
 
 def _phi_order2(r2):
     '''Thin-plate kernel on squared distances: r^2 log(r) = 0.5 r^2 log(r^2).'''
@@ -253,18 +255,36 @@ def sparse_image_warp(image, source_control_points, dest_control_points,
     if method == 'two_pass':
         if _pallas_resample_ok(image.shape, max_displacement):
             from .pallas.warp_kernel import dense_image_warp_twopass_pallas
-            return dense_image_warp_twopass_pallas(
-                image, flow, max_displacement)
+            fn = functools.partial(
+                dense_image_warp_twopass_pallas,
+                max_displacement=max_displacement,
+                interpret=mesh_lib.pallas_interpret())
+            mesh = _warp_spmd_mesh(image.shape[0])
+            if mesh is not None and jax.device_count() != 1:
+                from jax.sharding import PartitionSpec as P
+                fn = jax.shard_map(
+                    fn, mesh=mesh, in_specs=(P('data'), P('data')),
+                    out_specs=P('data'), check_vma=False)
+            return fn(image, flow)
         return dense_image_warp_twopass(image, flow, max_displacement)
     return dense_image_warp(image, flow)
 
 
+def _warp_spmd_mesh(b):
+    mesh = mesh_lib.current_spmd_mesh()
+    if mesh is not None and b % mesh.shape['data'] == 0:
+        return mesh
+    return None
+
+
 def _pallas_resample_ok(shape, max_displacement):
-    '''Use the fused Pallas resample on a single TPU device; fall back to the
-    XLA select path on CPU and under multi-device SPMD (pallas_call is not
-    auto-partitioned by GSPMD).'''
+    '''Use the fused Pallas resample on a single TPU device or shard_mapped
+    over the engine-announced SPMD mesh; fall back to the XLA select path
+    on CPU (unless interpret-mode testing) and under spatial partitioning.'''
     try:
-        if jax.default_backend() == 'cpu' or jax.device_count() != 1:
+        if jax.default_backend() == 'cpu' and not mesh_lib.pallas_interpret():
+            return False
+        if jax.device_count() != 1 and _warp_spmd_mesh(shape[0]) is None:
             return False
         from .pallas.warp_kernel import supported
         return supported(shape, max_displacement)

@@ -14,11 +14,74 @@ Multi-host use: call ``jax.distributed.initialize()`` before ``create_mesh``
 and the same code spans hosts (DP over DCN+ICI).
 '''
 
+import contextlib
+import os
+import threading
 from typing import Optional
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_TLS = threading.local()
+
+
+@contextlib.contextmanager
+def pallas_spmd(mesh: Mesh):
+    '''Trace-time announcement that Pallas kernels may run under SPMD.
+
+    The engine wraps its step bodies in this context; kernel gates
+    (models/fastconv._pallas_conv_ok, ops/warp._pallas_resample_ok) consult
+    it and, when a mesh is active, wrap their ``pallas_call`` in
+    ``jax.shard_map`` over the ``data`` axis instead of falling back to the
+    slow XLA paths (the TPU-native analog of per-replica cuDNN kernels
+    under MirroredStrategy, reference engine.py:260-263).
+    '''
+    prev = getattr(_TLS, 'spmd_mesh', None)
+    _TLS.spmd_mesh = mesh
+    try:
+        yield
+    finally:
+        _TLS.spmd_mesh = prev
+
+
+def current_spmd_mesh() -> Optional[Mesh]:
+    '''The announced SPMD mesh, or None.
+
+    Returns None under spatial partitioning (model axis > 1): the stencil
+    kernels read whole image planes, so H-sharded operands would need halo
+    exchanges the kernels do not implement — XLA's stencil path (with
+    GSPMD-inserted halos) handles that case.
+    '''
+    mesh = getattr(_TLS, 'spmd_mesh', None)
+    if mesh is None or mesh.shape.get('model', 1) != 1:
+        return None
+    return mesh
+
+
+@contextlib.contextmanager
+def pallas_single_device():
+    '''Caller guarantee that the enclosed jitted computation runs on ONE
+    device (inputs committed to a single device), so Pallas kernels are
+    safe even when ``jax.device_count() > 1`` — used by the region metrics,
+    which always run their confusion pass on one chip.'''
+    prev = getattr(_TLS, 'single_dev', False)
+    _TLS.single_dev = True
+    try:
+        yield
+    finally:
+        _TLS.single_dev = prev
+
+
+def pallas_single_device_active() -> bool:
+    return bool(getattr(_TLS, 'single_dev', False))
+
+
+def pallas_interpret() -> bool:
+    '''CPU interpret-mode override for Pallas kernels (tests): set
+    DNNCA_PALLAS_INTERPRET=1 to run the kernels through the Pallas
+    interpreter instead of falling back to the XLA paths.'''
+    return os.environ.get('DNNCA_PALLAS_INTERPRET', '') not in ('', '0')
 
 
 def create_mesh(n_devices: Optional[int] = None, model_parallel: int = 1,

@@ -97,7 +97,13 @@ class Visualizer:
         has_bn = engine._has_bn
         with_sens = self.show_sensitivity
 
+        mesh = engine.mesh
+
         def fn(state, raw_batch):
+            with mesh_lib.pallas_spmd(mesh):
+                return body(state, raw_batch)
+
+        def body(state, raw_batch):
             images = raw_batch.astype(jnp.float32) / 255.0
             x, y = augment_mod.to_feature_label(images, slice_types)
             variables = {'params': state['params']}

@@ -13,9 +13,11 @@ from tests.conftest import scrubbed_cpu_env
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(args, timeout=560):
+def _run(args, timeout=560, extra_env=None):
+    env = scrubbed_cpu_env()
+    env.update(extra_env or {})
     return subprocess.run(
-        [sys.executable, *args], env=scrubbed_cpu_env(), capture_output=True,
+        [sys.executable, *args], env=env, capture_output=True,
         text=True, timeout=timeout, cwd=REPO)
 
 
@@ -197,3 +199,72 @@ def test_eval_spatial_partition_matches_single_device():
     out = _run(['-c', EVAL_SPATIAL_SCRIPT])
     assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-2000:])
     assert 'EVAL_SPATIAL_OK' in out.stdout
+
+
+PALLAS_SPMD_SCRIPT = r'''
+import jax, numpy as np, yaml
+assert len(jax.devices()) == 8, jax.devices()
+from dnncancerannotator_tpu import engine as engine_lib
+from dnncancerannotator_tpu.models import fastconv
+from dnncancerannotator_tpu.parallel import mesh as mesh_lib
+
+# the gate must open: CPU+interpret override, SPMD mesh announced
+m8 = mesh_lib.create_mesh(8)
+with mesh_lib.pallas_spmd(m8):
+    assert fastconv._pallas_conv_ok((8, 2, 16, 16), (3, 3, 2, 2), nchw=True)
+    assert fastconv._pallas_conv_ok((8, 2, 16, 16), (3, 3, 2, 2), nchw=True,
+                                    bwd=True)
+assert not fastconv._pallas_conv_ok((8, 2, 16, 16), (3, 3, 2, 2), nchw=True)
+
+CONFIG = {
+    'model': 'UNetAnnotator',
+    'model_options': dict(n_filters_first=2, n_downsample=1, rate=2,
+                          kernel_size=3, conv_stride=1, bn=False,
+                          padding='same'),
+    'deploy_options': {
+        'optimizer': 'adam',
+        'loss': {'class_name': 'WeightedCrossentropy',
+                 'config': {'weight_mul': 3.0}},
+        'enable_multigpu': True,
+    },
+}
+
+class DS:
+    slice_types = ('TRA', 'ADC', 'label')
+    augment_methods = [('random_crop', dict(output_size=(16, 16))),
+                       ('random_flip', {})]
+    feature_shape = (8, 16, 16, 2)
+
+rng = np.random.default_rng(0)
+raws = [rng.integers(0, 255, (8, 24, 24, 3), np.uint8) for _ in range(2)]
+
+results = {}
+for multigpu in (True, False):
+    cfg = yaml.safe_load(yaml.safe_dump(CONFIG))
+    cfg['deploy_options']['enable_multigpu'] = multigpu
+    eng = engine_lib.Engine(cfg, seed=7)
+    eng.build(DS.feature_shape)
+    step = eng._make_train_step(DS())
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for raw in raws:
+        raw_dev, _ = mesh_lib.shard_batch(eng.mesh, raw)
+        eng.state, loss, _, _ = step(eng.state, raw_dev, key)
+        losses.append(float(loss))
+    results[multigpu] = (
+        losses, np.asarray(jax.tree.leaves(eng.state['params'])[0]))
+
+np.testing.assert_allclose(results[True][0], results[False][0], rtol=2e-4)
+np.testing.assert_allclose(results[True][1], results[False][1], atol=2e-5)
+print('PALLAS_SPMD_OK', results[True][0])
+'''
+
+
+def test_pallas_kernels_spmd_interpret():
+    '''The Pallas conv/chain kernels, shard_mapped over an 8-device data
+    mesh (interpret mode on CPU), must reproduce single-device training
+    math — VERDICT r2 item 2: kernels must no longer turn off under SPMD.'''
+    out = _run(['-c', PALLAS_SPMD_SCRIPT], timeout=560,
+               extra_env={'DNNCA_PALLAS_INTERPRET': '1'})
+    assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-2000:])
+    assert 'PALLAS_SPMD_OK' in out.stdout

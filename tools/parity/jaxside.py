@@ -88,6 +88,45 @@ def cmd_data(args):
     print(json.dumps({'phase': 'data', 'out': args.out}))
 
 
+def cmd_initdump(args):
+    '''Dump the deterministic seed-0 initial weights of our model in the
+    shared npz schema. jax-train regenerates the identical init (same seed,
+    same PRNG), and refside train --init-npz loads this into the Keras
+    model — both frameworks then train from the exact same point.'''
+    from dnncancerannotator_tpu import engine as engine_lib
+    from dnncancerannotator_tpu.utils import config as config_lib
+
+    os.makedirs(os.path.dirname(args.out) or '.', exist_ok=True)
+    overlay = _size_overlay(os.path.dirname(args.out), args.size)
+    cfg = config_lib.load_config(_config_stack(overlay))
+    eng = engine_lib.Engine(cfg)
+    eng.build((1, args.size, args.size, 5))
+    params = eng.state['params']
+    out = {'step': np.asarray(0)}
+    unet = params['unet']
+    n_down = len([k for k in unet['encoder'] if k.startswith('down_')])
+    for lvl in range(n_down):
+        chain = unet['encoder'][f'down_{lvl}']['convchain']
+        for j in range(2):
+            out[f'enc{lvl}_conv{j}_kernel'] = np.asarray(
+                chain[f'conv_{j}']['kernel'])
+            out[f'enc{lvl}_conv{j}_bias'] = np.asarray(
+                chain[f'conv_{j}']['bias'])
+    for lvl in range(n_down):
+        up = unet['decoder'][f'up_{lvl}']
+        out[f'dec{lvl}_tconv_kernel'] = np.asarray(up['tconv']['kernel'])
+        out[f'dec{lvl}_tconv_bias'] = np.asarray(up['tconv']['bias'])
+        for j in range(2):
+            out[f'dec{lvl}_conv{j}_kernel'] = np.asarray(
+                up['convchain'][f'conv_{j}']['kernel'])
+            out[f'dec{lvl}_conv{j}_bias'] = np.asarray(
+                up['convchain'][f'conv_{j}']['bias'])
+    out['last_conv_kernel'] = np.asarray(params['last_conv']['kernel'])
+    out['last_conv_bias'] = np.asarray(params['last_conv']['bias'])
+    np.savez(args.out, **out)
+    print(json.dumps({'phase': 'initdump', 'out': args.out}))
+
+
 def cmd_train(args):
     from dnncancerannotator_tpu.runs import train as train_mod
 
@@ -239,7 +278,8 @@ def cmd_report(args):
     lines.append('Generated by tools/parity/run_parity.py; see '
                  'tools/parity/shims/README.md for how the reference '
                  'runs in this image.\n')
-    lines.append('## Independent training, same TFRecords, same steps\n')
+    lines.append('## Training head-to-head: same initial weights, same '
+                 'TFRecords, same steps\n')
     lines.append('| metric | TF reference (CPU) | this framework (TPU) '
                  '| delta |')
     lines.append('|---|---|---|---|')
@@ -301,6 +341,7 @@ def main():
     sub = p.add_subparsers(dest='phase', required=True)
     specs = {
         'data': (cmd_data, ('--out', '--size')),
+        'initdump': (cmd_initdump, ('--out', '--size')),
         'train': (cmd_train, ('--data', '--save', '--steps', '--freq',
                               '--size')),
         'eval': (cmd_eval, ('--data', '--save', '--size')),

@@ -65,6 +65,29 @@ def _load_config(size, metrics=False):
     return cfg
 
 
+def load_npz_weights(model, npz, n_down):
+    '''Load a flax-layout weights npz (refside.cmd_dump / jaxside.initdump
+    key schema) into the built reference Keras model.'''
+    for lvl in range(n_down):
+        convs = [l for l in model.unet.encoder.downsamples[lvl]
+                 .convchain.layers if l.weights]
+        for j, conv in enumerate(convs):
+            conv.set_weights([npz[f'enc{lvl}_conv{j}_kernel'],
+                              npz[f'enc{lvl}_conv{j}_bias']])
+    for lvl in range(n_down):
+        up = model.unet.decoder.upsamples[lvl]
+        k = npz[f'dec{lvl}_tconv_kernel']
+        up.conv_transpose.set_weights(
+            [k[::-1, ::-1].transpose(0, 1, 3, 2),
+             npz[f'dec{lvl}_tconv_bias']])
+        convs = [l for l in up.convchain.layers if l.weights]
+        for j, conv in enumerate(convs):
+            conv.set_weights([npz[f'dec{lvl}_conv{j}_kernel'],
+                              npz[f'dec{lvl}_conv{j}_bias']])
+    model.last_conv.set_weights([npz['last_conv_kernel'],
+                                 npz['last_conv_bias']])
+
+
 def cmd_train(args):
     from annotator import data, engine
     from annotator.utils import dump
@@ -76,6 +99,14 @@ def cmd_train(args):
         config=cfg, save_path=args.save, data_path=list(args.data))
     ds = data.train_ds(list(args.data), **cfg['data_options']['train'])
     model = engine.TFKerasModel(cfg)
+    if getattr(args, 'init_npz', None):
+        # shared-init mode: start from the exact same weights the JAX side
+        # initializes with, eliminating init path-dependence from the
+        # head-to-head (both frameworks' dynamics were verified equal by
+        # tools/parity/graddiag.py)
+        model.model.build(ds.element_spec[0].shape)
+        load_npz_weights(model.model, np.load(args.init_npz),
+                         cfg['model_options']['n_downsample'])
     model.train(ds, save_path=args.save, max_steps=args.steps,
                 save_freq=args.freq)
     print(json.dumps({'phase': 'tf-train', 'steps': args.steps}))
@@ -187,6 +218,7 @@ def main():
         if name == 'train':
             sp.add_argument('--steps', type=int, required=True)
             sp.add_argument('--freq', type=int, required=True)
+            sp.add_argument('--init-npz', dest='init_npz', default=None)
         if name == 'dump':
             sp.add_argument('--out', required=True)
         sp.set_defaults(fn=fn)

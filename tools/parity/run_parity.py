@@ -71,10 +71,16 @@ def main():
         run('data', [sys.executable, jaxside, 'data', '--out', data_dir]
             + size, CPU_ENV)
 
+    init_npz = os.path.join(out, 'init_weights.npz')
+    if not (args.skip_existing and os.path.exists(init_npz)):
+        run('initdump', [sys.executable, jaxside, 'initdump',
+                         '--out', init_npz] + size, CPU_ENV)
+
     if not exists('tf', 'checkpoints'):
         run('tf-train', [sys.executable, refside, 'train',
                          '--data', *train_recs,
                          '--save', os.path.join(out, 'tf'),
+                         '--init-npz', init_npz,
                          '--steps', str(args.steps),
                          '--freq', str(args.freq)] + size,
             TF_ENV, timeout=4 * 3600)
