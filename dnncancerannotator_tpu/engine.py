@@ -466,11 +466,8 @@ class Engine:
         losses = []
         for batch in dataset.batches():
             raw = batch['slices']
-            n = raw.shape[0]
-            if n < dataset.batch_size:  # pad, then mask
-                pad = dataset.batch_size - n
-                raw = np.concatenate([raw, np.repeat(raw[-1:], pad, 0)], 0)
-            raw_dev, _ = mesh_lib.shard_batch(self.mesh, raw)
+            raw_dev, n = mesh_lib.shard_batch(
+                self.mesh, raw, pad_to=dataset.batch_size)
             loss_vec, probs, y = eval_step(
                 self.state, raw_dev, jnp.int32(n))
             losses.append(np.asarray(loss_vec)[:n])
@@ -853,11 +850,8 @@ class Engine:
         outputs = []
         for batch in dataset.batches():
             raw = batch['slices']
-            n = raw.shape[0]
-            if n < dataset.batch_size:
-                pad = dataset.batch_size - n
-                raw = np.concatenate([raw, np.repeat(raw[-1:], pad, 0)], 0)
-            raw_dev, _ = mesh_lib.shard_batch(self.mesh, raw)
+            raw_dev, n = mesh_lib.shard_batch(
+                self.mesh, raw, pad_to=dataset.batch_size)
             _, probs, _ = eval_step(self.state, raw_dev, jnp.int32(n))
             outputs.append(np.asarray(probs)[:n])
         return np.concatenate(outputs, 0) if outputs else np.zeros((0,))

@@ -112,17 +112,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
+def shard_batch(mesh: Mesh, batch, pad_to: Optional[int] = None):
     '''Place a host batch on the mesh, sharded along axis 0.
 
-    Pads the batch up to a multiple of the data-axis size if needed (the
-    reference gives the remainder to the last replica, utils/nn.py:17-19;
-    with GSPMD the batch must divide evenly, so we pad and let callers mask).
+    Pads the batch up to ``pad_to`` (the static batch size a jitted step
+    was compiled for) and then to a multiple of the data-axis size, both
+    by repeating the last element (the reference gives the remainder to
+    the last replica, utils/nn.py:17-19; with GSPMD the batch must divide
+    evenly, so we pad and let callers mask with the returned count).
     Returns (device_array, n_valid).
     '''
     n = batch.shape[0]
     d = mesh.shape['data']
-    if n % d:
-        pad = d - n % d
-        batch = np.concatenate([batch, np.repeat(batch[-1:], pad, 0)], 0)
+    target = max(pad_to or n, n)
+    target += (-target) % d
+    if target > n:
+        batch = np.concatenate(
+            [batch, np.repeat(batch[-1:], target - n, 0)], 0)
     return jax.device_put(batch, batch_sharding(mesh)), n

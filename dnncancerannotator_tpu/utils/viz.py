@@ -167,11 +167,8 @@ class Visualizer:
 
         for batch in self.data.batches():
             raw = batch['slices']
-            n = raw.shape[0]
-            if n < self.data.batch_size:
-                pad = self.data.batch_size - n
-                raw = np.concatenate([raw, np.repeat(raw[-1:], pad, 0)], 0)
-            raw_dev, _ = mesh_lib.shard_batch(engine.mesh, raw)
+            raw_dev, n = mesh_lib.shard_batch(
+                engine.mesh, raw, pad_to=self.data.batch_size)
             x, y, probs, sens = self._viz_step(engine.state, raw_dev)
             x = np.asarray(x)[:n]
             y = np.asarray(y)[:n]

@@ -107,6 +107,10 @@ def cmd_train(args):
         model.model.build(ds.element_spec[0].shape)
         load_npz_weights(model.model, np.load(args.init_npz),
                          cfg['model_options']['n_downsample'])
+        # the reference's Decoder.build appends to self.upsamples each
+        # call and TFKerasModel.train build()s unconditionally — a second
+        # build would duplicate the decoder; neutralize it (model is built)
+        model.model.build = lambda *a, **k: None
     model.train(ds, save_path=args.save, max_steps=args.steps,
                 save_freq=args.freq)
     print(json.dumps({'phase': 'tf-train', 'steps': args.steps}))
