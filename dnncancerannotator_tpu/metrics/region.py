@@ -63,13 +63,17 @@ def _region_counts_single(y_true, y_pred, thresholds, iou_threshold,
     pred_cc, n_pred = connected_components_batch(pred_thr)  # [T,H,W], [T]
 
     # One-hot region maps (region ids are 1..n; id 0 = background dropped).
-    # bf16 one-hots with f32 accumulation keep the counts exact (<2^24 pixels).
-    a = jax.nn.one_hot(lab_cc.reshape(-1), lcap + 1, dtype=jnp.bfloat16)[:, 1:]
-    b = jax.nn.one_hot(pred_cc.reshape(t, -1), pcap + 1, dtype=jnp.bfloat16)[..., 1:]
+    # int8 one-hots with int32 accumulation: exact counts, half the HBM
+    # footprint of bf16 (the one-hots dominate peak memory at the PR-curve
+    # operating point), and the v5e MXU runs int8 contractions at 2x bf16.
+    a = jax.nn.one_hot(lab_cc.reshape(-1), lcap + 1, dtype=jnp.int8)[:, 1:]
+    b = jax.nn.one_hot(pred_cc.reshape(t, -1), pcap + 1,
+                       dtype=jnp.int8)[..., 1:]
     inter = jnp.einsum('hl,thp->tlp', a, b,
-                       preferred_element_type=jnp.float32)  # [T,L,P]
-    area_l = jnp.sum(a, axis=0, dtype=jnp.float32)  # [L]
-    area_p = jnp.sum(b, axis=1, dtype=jnp.float32)  # [T,P]
+                       preferred_element_type=jnp.int32).astype(
+                           jnp.float32)  # [T,L,P]
+    area_l = jnp.sum(a, axis=0, dtype=jnp.int32).astype(jnp.float32)  # [L]
+    area_p = jnp.sum(b, axis=1, dtype=jnp.int32).astype(jnp.float32)  # [T,P]
     union = area_l[None, :, None] + area_p[:, None, :] - inter
     iou = jnp.where(union > 0, inter / jnp.maximum(union, 1.0), 0.0)
     detected = iou > iou_threshold  # [T,L,P]

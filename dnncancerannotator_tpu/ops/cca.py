@@ -117,10 +117,10 @@ def _pallas_cca_ok(shape):
         if jax.device_count() != 1 and \
                 not mesh_lib.pallas_single_device_active():
             return False
-        if h % 8 or w % 128:
-            return False
         from .pallas.cca_kernel import supported
-        return supported(shape)
+        # eligibility is judged on the tile-aligned (padded) plane the
+        # wrapper actually hands the kernel
+        return supported((n, h + (-h) % 8, w + (-w) % 128))
     except Exception:
         return False
 
@@ -130,11 +130,20 @@ def connected_components_batch(masks):
 
     Uses the VMEM-resident Pallas propagation kernel when eligible (see
     ops/pallas/cca_kernel.py); falls back to the vmapped XLA while_loop.
+    Planes are zero-padded to the (8, 128) f32 tile so any eval resolution
+    takes the kernel (the roll-based lane scan needs lane % 128 == 0);
+    padding is background, so region structure and the row-major root
+    numbering are unchanged, and the compact labels are cropped back.
     '''
     if _pallas_cca_ok(masks.shape):
         from ..parallel import mesh as mesh_lib
         from .pallas.cca_kernel import cca_raw_labels_pallas
+        n, h, w = masks.shape
+        ph, pw = (-h) % 8, (-w) % 128
+        padded = masks if not (ph or pw) else jnp.pad(
+            masks, ((0, 0), (0, ph), (0, pw)))
         raw = cca_raw_labels_pallas(
-            masks, interpret=mesh_lib.pallas_interpret())
-        return jax.vmap(_compact_from_raw)(raw, masks)
+            padded, interpret=mesh_lib.pallas_interpret())
+        compact, count = jax.vmap(_compact_from_raw)(raw, padded)
+        return compact[:, :h, :w], count
     return jax.vmap(connected_components)(masks)

@@ -354,3 +354,29 @@ class TestRegionCapacityOverflow(unittest.TestCase):
 
 if __name__ == '__main__':
     unittest.main()
+
+
+def test_cca_pallas_padded_nonaligned_interpret(monkeypatch):
+    '''Non-(8,128)-aligned planes now take the Pallas CCA through the
+    pad-in-wrapper path; interpret mode runs the real kernel math on CPU
+    and must match scipy region structure and counts.'''
+    import numpy as np
+    from scipy import ndimage
+    import jax.numpy as jnp
+    from dnncancerannotator_tpu.ops.cca import (
+        connected_components_batch, _pallas_cca_ok)
+    from dnncancerannotator_tpu.parallel import mesh as mesh_lib
+
+    monkeypatch.setenv('DNNCA_PALLAS_INTERPRET', '1')
+    rng = np.random.default_rng(3)
+    masks = rng.random((2, 20, 70)) > 0.6
+    with mesh_lib.pallas_single_device():
+        assert _pallas_cca_ok(masks.shape)
+        labels, counts = connected_components_batch(jnp.asarray(masks))
+    labels, counts = np.asarray(labels), np.asarray(counts)
+    four = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]])
+    for i in range(masks.shape[0]):
+        ref, n = ndimage.label(masks[i], structure=four)
+        assert counts[i] == n
+        pairs = set(zip(ref.ravel().tolist(), labels[i].ravel().tolist()))
+        assert len(pairs) == n + 1  # bijective region correspondence
