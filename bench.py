@@ -180,7 +180,11 @@ def main():
         'value': round(throughput, 2),
         'unit': 'slices/s/chip',
         'vs_baseline': round(throughput / baseline, 2),
-    }))
+    }), flush=True)
+    # interpreter teardown has been observed to hang in the relayed
+    # backend's atexit cleanup after heavy use; the JSON line above is the
+    # whole contract, so exit hard once it is out
+    os._exit(0)
 
 
 if __name__ == '__main__':
