@@ -1,0 +1,143 @@
+'''Profile the unet.yaml train step on the real chip: capture a
+jax.profiler trace of the resident-input scan step and histogram the
+device ops (count, total device time, inferred scheduling gaps).
+
+Usage: python tools/profile_step.py [--steps 10] [--out /tmp/prof]
+'''
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+import numpy as np
+
+
+def build_engine(size=256, batch=8, steps_per_call=10):
+    import yaml
+    from dnncancerannotator_tpu import engine as engine_lib
+
+    cfg = {
+        'model': 'UNetAnnotator',
+        'model_options': dict(n_filters_first=3, n_downsample=3, rate=2,
+                              kernel_size=3, conv_stride=1, bn=False,
+                              padding='same'),
+        'deploy_options': {
+            'optimizer': 'adam',
+            'loss': {'class_name': 'WeightedCrossentropy',
+                     'config': {'weight_mul': 3.0}},
+            'enable_multigpu': False,
+            'steps_per_call': steps_per_call,
+        },
+    }
+    cfg = yaml.safe_load(yaml.safe_dump(cfg))
+    return engine_lib.Engine(cfg, seed=0), size, batch
+
+
+class _DS:
+    slice_types = ('TRA', 'ADC', 'DWI', 'DCEE', 'DCEL', 'label')
+    augment_methods = [
+        ('random_crop', dict(output_size=(256, 256))),
+        ('random_flip', {}),
+        ('random_contrast', dict(target_channels=[0, 1, 2, 3, 4])),
+        ('random_warp', {}),
+    ]
+    batch_size = 8
+    feature_shape = (8, 256, 256, 5)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--out', default='/tmp/prof')
+    p.add_argument('--steps', type=int, default=10)
+    p.add_argument('--top', type=int, default=30)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    eng, size, batch = build_engine(steps_per_call=args.steps)
+    eng.build(_DS.feature_shape)
+    # device-resident data tensor: N slices of (size+12)^2 x 6 channels
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 255, (64, size + 12, size + 12, 6), np.uint8)
+    data_dev = jax.device_put(jnp.asarray(data), eng._rep)
+    starts = jax.device_put(jnp.zeros((1,), jnp.int32), eng._rep)
+    counts = jax.device_put(jnp.full((1,), 64, jnp.int32), eng._rep)
+    key = jax.random.PRNGKey(0)
+
+    step = eng._make_resident_train_step(_DS(), 1, False, args.steps)
+    # warm up / compile
+    state, losses, probs, y = step(eng.state, data_dev, starts, counts, key)
+    float(np.asarray(losses)[-1])
+
+    os.makedirs(args.out, exist_ok=True)
+    jax.profiler.start_trace(args.out)
+    state, losses, probs, y = step(state, data_dev, starts, counts, key)
+    float(np.asarray(losses)[-1])
+    jax.profiler.stop_trace()
+
+    traces = glob.glob(os.path.join(
+        args.out, '**', '*.trace.json.gz'), recursive=True)
+    assert traces, 'no trace captured'
+    trace = json.load(gzip.open(sorted(traces)[-1]))
+    events = trace['traceEvents']
+
+    # find the device lane: pid whose name mentions TPU/device, else the
+    # pid with the most complete events that isn't python/host
+    pid_names = {e['pid']: e['args'].get('name', '')
+                 for e in events if e.get('ph') == 'M'
+                 and e.get('name') == 'process_name' and 'args' in e}
+    cand = [pid for pid, name in pid_names.items()
+            if 'TPU' in name or 'Device' in name or '/device' in name.lower()]
+    complete = [e for e in events if e.get('ph') == 'X']
+    if cand:
+        dev_events = [e for e in complete if e['pid'] in cand]
+    else:
+        by_pid = collections.Counter(e['pid'] for e in complete)
+        host_pids = {pid for pid, name in pid_names.items()
+                     if 'python' in name.lower() or 'Host' in name}
+        pid = max((p for p in by_pid if p not in host_pids),
+                  key=lambda p: by_pid[p])
+        dev_events = [e for e in complete if e['pid'] == pid]
+        cand = [pid]
+    print('device pids:', {p: pid_names.get(p) for p in cand})
+
+    # only the bottom-most lane (actual op executions have names like
+    # fusion.N, scan loops add nesting; use tid with most events)
+    by_tid = collections.Counter(e['tid'] for e in dev_events)
+    tid = max(by_tid, key=lambda t: by_tid[t])
+    ops = sorted((e for e in dev_events if e['tid'] == tid),
+                 key=lambda e: e['ts'])
+    total_ops = len(ops)
+    t0, t1 = ops[0]['ts'], max(e['ts'] + e['dur'] for e in ops)
+    busy = sum(e['dur'] for e in ops)
+    span = t1 - t0
+    print(f'device lane tid={tid}: {total_ops} op events, span '
+          f'{span/1e3:.3f} ms, busy {busy/1e3:.3f} ms, gaps '
+          f'{(span-busy)/1e3:.3f} ms')
+
+    agg = collections.defaultdict(lambda: [0, 0.0])
+    for e in ops:
+        # strip trailing .N indices for grouping
+        name = e['name']
+        base = name.rstrip('0123456789.')
+        agg[base][0] += 1
+        agg[base][1] += e['dur']
+    rows = sorted(agg.items(), key=lambda kv: -kv[1][1])
+    print(f'{"op":40s} {"count":>6s} {"total_us":>10s}')
+    for name, (cnt, dur) in rows[:args.top]:
+        print(f'{name[:40]:40s} {cnt:6d} {dur:10.1f}')
+    print(f'... {len(rows)} distinct op groups, '
+          f'{args.steps} inner steps -> {total_ops/args.steps:.0f} '
+          'ops/step')
+
+
+if __name__ == '__main__':
+    main()
+    os._exit(0)
