@@ -143,6 +143,10 @@ class Engine:
         # {'class_name', 'config'} dict (reference engine.py:276-284).
         self.tx, self.schedule = optimizers_lib.solve_optimizer(
             optimizer, schedule)
+        # run the optimizer math on one concatenated vector: per-leaf
+        # updates on ~32 tiny tensors cost ~10 us of launch overhead each
+        # on this chip, dwarfing the actual elementwise compute
+        self.tx = optax.flatten(self.tx)
 
         # optional 2D spatial partitioning: shard image rows over a 'model'
         # mesh axis (halo exchanges inserted by XLA for the convs)
@@ -364,12 +368,24 @@ class Engine:
             ))
 
         def scan_fn(state, raw_batches, key):
-            def body(carry, raw):
-                new_state, loss, probs, y = one_step(carry, raw, key)
-                return new_state, (loss, probs, y)
+            # only the losses are stacked; probs/y of the final step ride the
+            # carry (stacking all k [B, H, W] planes emitted a
+            # dynamic-update-slice per step only to be sliced back to [-1])
+            raw_aval = jax.ShapeDtypeStruct(
+                raw_batches.shape[1:], raw_batches.dtype)
+            _, _, probs_av, y_av = jax.eval_shape(
+                one_step, state, raw_aval, key)
 
-            state, (losses, probs, y) = jax.lax.scan(body, state, raw_batches)
-            return state, losses, probs[-1], y[-1]
+            def body(carry, raw):
+                st, _, _ = carry
+                new_state, loss, probs, y = one_step(st, raw, key)
+                return (new_state, probs, y), loss
+
+            carry0 = (state, jnp.zeros(probs_av.shape, probs_av.dtype),
+                      jnp.zeros(y_av.shape, y_av.dtype))
+            (state, probs, y), losses = jax.lax.scan(
+                body, carry0, raw_batches)
+            return state, losses, probs, y
 
         inner_spec = self._data_sh.spec
         batch_sh = jax.sharding.NamedSharding(
@@ -406,16 +422,23 @@ class Engine:
 
         def fn(state, data, starts, counts, key):
             sample_key = jax.random.fold_in(key, 0x5a5a5a5)
+            raw_aval = jax.ShapeDtypeStruct(
+                (batch,) + data.shape[1:], data.dtype)
+            _, _, probs_av, y_av = jax.eval_shape(
+                one_step, state, raw_aval, key)
 
             def body(carry, _):
-                skey = jax.random.fold_in(sample_key, carry['step'])
+                st, _, _ = carry
+                skey = jax.random.fold_in(sample_key, st['step'])
                 raw = sample(data, starts, counts, skey)
-                new_state, loss, probs, y = one_step(carry, raw, key)
-                return new_state, (loss, probs, y)
+                new_state, loss, probs, y = one_step(st, raw, key)
+                return (new_state, probs, y), loss
 
-            state, (losses, probs, y) = jax.lax.scan(
-                body, state, None, length=k)
-            return state, losses, probs[-1], y[-1]
+            carry0 = (state, jnp.zeros(probs_av.shape, probs_av.dtype),
+                      jnp.zeros(y_av.shape, y_av.dtype))
+            (state, probs, y), losses = jax.lax.scan(
+                body, carry0, None, length=k)
+            return state, losses, probs, y
 
         return jax.jit(
             fn,

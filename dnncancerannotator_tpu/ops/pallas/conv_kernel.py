@@ -250,6 +250,39 @@ def stencil_conv2d_bwd_pallas(x, g, w, pads=((1, 1), (1, 1)), nchw=False,
 # ---------------------------------------------------------------------------
 
 
+# unrolled-term cap per stencil phase: a fully-unrolled tap loop with more
+# terms than this runs its input-plane loop as a fori_loop instead (Mosaic
+# supports dynamic leading-dim VMEM indices and dynamic SMEM reads), keeping
+# compile time bounded while the 12-24 channel mid-levels stay fused
+_UNROLL_TERMS = 1024
+
+
+def _tap_loop(nin, kh, kw, h, w, sh_ref, load, emit, unroll):
+    '''Shared stencil tap loop: for each input plane ``i`` and lane offset
+    ``dx``, stage ``load(i, dx)`` into the aligned shift scratch, then for
+    each sublane offset ``dy`` hand the aligned window to ``emit``.
+
+    ``unroll``: python-unroll the plane loop (small channel products) or run
+    it as a lax.fori_loop (keeps Mosaic program size bounded for the 12-24
+    channel levels that previously fell back to the XLA stencil path and its
+    ~15 layout copies per step).
+    '''
+    def body(i):
+        for dx in range(kw):
+            sh_ref[:] = load(i, dx)
+            for dy in range(kh):
+                emit(i, dy, dx, sh_ref[dy:dy + h])
+
+    if unroll:
+        for i in range(nin):
+            body(i)
+    else:
+        def fori_body(i, carry):
+            body(i)
+            return carry
+        jax.lax.fori_loop(0, nin, fori_body, 0)
+
+
 def _chain_kernel(w_ref, x_ref, c1_ref, c2_ref, sh_ref, c1p_ref, *,
                   kh, kw, ci, cm, co, h, w, p1, p2):
     '''One batch image: c1 = relu(conv(x, w1) + b1); c2 = relu(conv(c1, w2)
@@ -262,14 +295,15 @@ def _chain_kernel(w_ref, x_ref, c1_ref, c2_ref, sh_ref, c1p_ref, *,
     # conv1 accumulates in the aligned c1 output block
     for o in range(cm):
         c1_ref[0, o] = jnp.full((h, w), w_ref[n1 + o], jnp.float32)
-    for i in range(ci):
-        for dx in range(kw):
-            sh_ref[:] = x_ref[0, i, :, dx:dx + w]
-            for dy in range(kh):
-                window = sh_ref[dy:dy + h]
-                for o in range(cm):
-                    wv = w_ref[((dy * kw + dx) * ci + i) * cm + o]
-                    c1_ref[0, o] = c1_ref[0, o] + window * wv
+
+    def emit1(i, dy, dx, window):
+        for o in range(cm):
+            wv = w_ref[((dy * kw + dx) * ci + i) * cm + o]
+            c1_ref[0, o] = c1_ref[0, o] + window * wv
+
+    _tap_loop(ci, kh, kw, h, w, sh_ref,
+              lambda i, dx: x_ref[0, i, :, dx:dx + w], emit1,
+              unroll=n1 <= _UNROLL_TERMS)
     # relu + one padded copy per channel for conv2's stencil reads
     for o in range(cm):
         act = jnp.maximum(c1_ref[0, o], 0.0)
@@ -280,21 +314,29 @@ def _chain_kernel(w_ref, x_ref, c1_ref, c2_ref, sh_ref, c1p_ref, *,
     # conv2 from the padded intermediate
     for o in range(co):
         c2_ref[0, o] = jnp.full((h, w), w_ref[n1 + cm + n2 + o], jnp.float32)
-    for i in range(cm):
-        for dx in range(kw):
-            sh_ref[:] = c1p_ref[i, :, dx:dx + w]
-            for dy in range(kh):
-                window = sh_ref[dy:dy + h]
-                for o in range(co):
-                    wv = w_ref[n1 + cm + ((dy * kw + dx) * cm + i) * co + o]
-                    c2_ref[0, o] = c2_ref[0, o] + window * wv
+
+    def emit2(i, dy, dx, window):
+        for o in range(co):
+            wv = w_ref[n1 + cm + ((dy * kw + dx) * cm + i) * co + o]
+            c2_ref[0, o] = c2_ref[0, o] + window * wv
+
+    _tap_loop(cm, kh, kw, h, w, sh_ref,
+              lambda i, dx: c1p_ref[i, :, dx:dx + w], emit2,
+              unroll=n2 <= _UNROLL_TERMS)
     for o in range(co):
         c2_ref[0, o] = jnp.maximum(c2_ref[0, o], 0.0)
 
 
 def chain_supported(b, h, w, kh, kw, ci, cm, co):
     '''VMEM bound for the fused chain kernels (same-size conv pair).'''
-    if kh * kw * max(ci, cm) * max(cm, co) > 1024:
+    # fully-unrolled phases only: the fori_loop variant (_tap_loop
+    # unroll=False) compiles fast but measured 3-4x SLOWER than the XLA
+    # stencil fallback at 12-24 channels (dynamic VMEM plane indexing
+    # relayouts per iteration), and full unroll at those widths is both
+    # slow (~270-810 us vs XLA's ~83 us) and minutes to Mosaic-compile.
+    # Mid-channel chains belong on the MXU; until a matmul-formulation
+    # kernel lands, they take the XLA path.
+    if kh * kw * ci * cm > _UNROLL_TERMS or kh * kw * cm * co > _UNROLL_TERMS:
         return False
     hp, wp = h + kh - 1, w + kw - 1
     per_program = 4 * (
@@ -388,33 +430,32 @@ def _chain_bwd_kernel(w_ref, xp_ref, c1_ref, c2_ref, g_ref, dx_ref, dw_ref,
         c1p_ref[i, py0:py0 + h, px0:px0 + w] = c1_ref[0, i]
 
     # dw2 / db2
-    for i in range(cm):
-        for dxx in range(kw):
-            sh_ref[:] = c1p_ref[i, :, dxx:dxx + w]
-            for dy in range(kh):
-                window = sh_ref[dy:dy + h]
-                for o in range(co):
-                    s = jnp.sum(window * aux_ref[o])
-                    acc(n1 + cm + ((dy * kw + dxx) * cm + i) * co + o, s)
+    def emit_dw2(i, dy, dxx, window):
+        for o in range(co):
+            s = jnp.sum(window * aux_ref[o])
+            acc(n1 + cm + ((dy * kw + dxx) * cm + i) * co + o, s)
+
+    _tap_loop(cm, kh, kw, h, w, sh_ref,
+              lambda i, dxx: c1p_ref[i, :, dxx:dxx + w], emit_dw2,
+              unroll=n2 <= _UNROLL_TERMS)
     for o in range(co):
         acc(n1 + cm + n2 + o, jnp.sum(aux_ref[o]))
 
     # dc1 = stencil(g2p, flip(w2)) masked by relu(c1); aligned accumulate
-    init = [False] * cm
-    for o in range(co):
-        for ex in range(kw):
-            sh_ref[:] = g2p_ref[o, :, ex:ex + w]
-            for ey in range(kh):
-                window = sh_ref[ey:ey + h]
-                for i in range(cm):
-                    wv = w_ref[n1 + cm + (((kh - 1 - ey) * kw
-                                           + (kw - 1 - ex)) * cm + i)
-                               * co + o]
-                    if not init[i]:
-                        aux_ref[i] = window * wv
-                        init[i] = True
-                    else:
-                        aux_ref[i] = aux_ref[i] + window * wv
+    # (zero-init instead of first-tap init flags: the plane loop may be a
+    # fori_loop, where compile-time init tracking is impossible)
+    for i in range(cm):
+        aux_ref[i] = jnp.zeros((h, w), jnp.float32)
+
+    def emit_dc1(o, ey, ex, window):
+        for i in range(cm):
+            wv = w_ref[n1 + cm + (((kh - 1 - ey) * kw
+                                   + (kw - 1 - ex)) * cm + i) * co + o]
+            aux_ref[i] = aux_ref[i] + window * wv
+
+    _tap_loop(co, kh, kw, h, w, sh_ref,
+              lambda o, ex: g2p_ref[o, :, ex:ex + w], emit_dc1,
+              unroll=n2 <= _UNROLL_TERMS)
     for i in range(cm):
         masked = jnp.where(c1_ref[0, i] > 0, aux_ref[i], 0.0)
         aux_ref[i] = masked
@@ -422,32 +463,30 @@ def _chain_bwd_kernel(w_ref, xp_ref, c1_ref, c2_ref, g_ref, dx_ref, dw_ref,
         dc1p_ref[i, gy0:gy0 + h, gx0:gx0 + w] = masked
 
     # dw1 / db1
-    for i in range(ci):
-        for dxx in range(kw):
-            sh_ref[:] = xp_ref[0, i, :, dxx:dxx + w]
-            for dy in range(kh):
-                window = sh_ref[dy:dy + h]
-                for o in range(cm):
-                    s = jnp.sum(window * aux_ref[o])
-                    acc(((dy * kw + dxx) * ci + i) * cm + o, s)
+    def emit_dw1(i, dy, dxx, window):
+        for o in range(cm):
+            s = jnp.sum(window * aux_ref[o])
+            acc(((dy * kw + dxx) * ci + i) * cm + o, s)
+
+    _tap_loop(ci, kh, kw, h, w, sh_ref,
+              lambda i, dxx: xp_ref[0, i, :, dxx:dxx + w], emit_dw1,
+              unroll=n1 <= _UNROLL_TERMS)
     for o in range(cm):
         acc(n1 + o, jnp.sum(aux_ref[o]))
 
     # dx = stencil(dc1p, flip(w1))
-    init = [False] * ci
-    for o in range(cm):
-        for ex in range(kw):
-            sh_ref[:] = dc1p_ref[o, :, ex:ex + w]
-            for ey in range(kh):
-                window = sh_ref[ey:ey + h]
-                for i in range(ci):
-                    wv = w_ref[(((kh - 1 - ey) * kw + (kw - 1 - ex)) * ci + i)
-                               * cm + o]
-                    if not init[i]:
-                        dx_ref[0, i] = window * wv
-                        init[i] = True
-                    else:
-                        dx_ref[0, i] = dx_ref[0, i] + window * wv
+    for i in range(ci):
+        dx_ref[0, i] = jnp.zeros((h, w), jnp.float32)
+
+    def emit_dx(o, ey, ex, window):
+        for i in range(ci):
+            wv = w_ref[(((kh - 1 - ey) * kw + (kw - 1 - ex)) * ci + i)
+                       * cm + o]
+            dx_ref[0, i] = dx_ref[0, i] + window * wv
+
+    _tap_loop(cm, kh, kw, h, w, sh_ref,
+              lambda o, ex: dc1p_ref[o, :, ex:ex + w], emit_dx,
+              unroll=n1 <= _UNROLL_TERMS)
 
 
 @functools.partial(jax.jit, static_argnames=('pads', 'interpret'))

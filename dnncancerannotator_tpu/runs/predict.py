@@ -8,6 +8,7 @@ load the latest checkpoint and write predicted segmentation PNGs.
 import logging
 import os
 
+import jax.numpy as jnp
 import numpy as np
 
 from .. import data as data_lib
@@ -69,9 +70,10 @@ def predict(
     eval_step = model._make_eval_step(ds.slice_types)
     for batch in ds.batches():
         from ..parallel import mesh as mesh_lib
-        raw_dev, _ = mesh_lib.shard_batch(model.mesh, batch['slices'])
-        _, probs, _ = eval_step(model.state, raw_dev)
-        probs = np.asarray(probs)
+        raw_dev, n = mesh_lib.shard_batch(
+            model.mesh, batch['slices'], pad_to=batch_size)
+        _, probs, _ = eval_step(model.state, raw_dev, jnp.int32(n))
+        probs = np.asarray(probs)[:n]
         ext = 'npy' if output_format == 'npy' else 'png'
         for i, meta in enumerate(batch['meta']):
             pred = probs[i, :, :, 0]
