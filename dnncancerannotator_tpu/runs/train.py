@@ -19,6 +19,7 @@ def train(
     val_data_path=None,
     visualize=False,
     profile=False,
+    seed=0,
 ):
     '''
     Run a training job: record the resolved options under save_path,
@@ -39,6 +40,8 @@ def train(
         val_data_path (list[str]): validation data location
         visualize (bool): write image/PR-curve summaries during training
         profile (bool): capture a profiler trace window
+        seed (int): PRNG seed for weight init, data order and augmentation
+            (additive over the reference, which trains unseeded)
     '''
     config = config_lib.load_config(config)
     dump_lib.dump_options(
@@ -69,7 +72,7 @@ def train(
     else:
         visualization = {}
 
-    model = engine_lib.Engine(config)
+    model = engine_lib.Engine(config, seed=seed)
     results = model.train(
         ds,
         save_path=save_path,

@@ -18,21 +18,30 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 import numpy as np
 
 
-def build_engine(size=256, batch=8, steps_per_call=10):
+def build_engine(size=256, batch=8, steps_per_call=10, model='small',
+                 precision=None):
     import yaml
     from dnncancerannotator_tpu import engine as engine_lib
 
+    model_options = {
+        'small': dict(n_filters_first=3, n_downsample=3, rate=2,
+                      kernel_size=3, conv_stride=1, bn=False,
+                      padding='same'),
+        # unet_big.yaml: the production-scale 31M-param model
+        'big': dict(n_filters_first=64, n_downsample=4, rate=2,
+                    kernel_size=3, conv_stride=1, bn=True,
+                    padding='same'),
+    }[model]
     cfg = {
         'model': 'UNetAnnotator',
-        'model_options': dict(n_filters_first=3, n_downsample=3, rate=2,
-                              kernel_size=3, conv_stride=1, bn=False,
-                              padding='same'),
+        'model_options': model_options,
         'deploy_options': {
             'optimizer': 'adam',
             'loss': {'class_name': 'WeightedCrossentropy',
                      'config': {'weight_mul': 3.0}},
             'enable_multigpu': False,
             'steps_per_call': steps_per_call,
+            **({'precision': precision} if precision else {}),
         },
     }
     cfg = yaml.safe_load(yaml.safe_dump(cfg))
@@ -56,12 +65,16 @@ def main():
     p.add_argument('--out', default='/tmp/prof')
     p.add_argument('--steps', type=int, default=10)
     p.add_argument('--top', type=int, default=30)
+    p.add_argument('--model', default='small', choices=('small', 'big'))
+    p.add_argument('--precision', default=None)
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    eng, size, batch = build_engine(steps_per_call=args.steps)
+    eng, size, batch = build_engine(steps_per_call=args.steps,
+                                    model=args.model,
+                                    precision=args.precision)
     eng.build(_DS.feature_shape)
     # device-resident data tensor: N slices of (size+12)^2 x 6 channels
     rng = np.random.default_rng(0)
