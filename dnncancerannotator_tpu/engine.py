@@ -295,7 +295,8 @@ class Engine:
             cache[key] = builder()
         return cache[key]
 
-    def _make_train_step(self, dataset, multi_step=False):
+    def _make_train_step(self, dataset, multi_step=False,
+                         stack_outputs=False):
         '''Build the jitted train step.
 
         ``multi_step=False``: step(state, raw [B,...], key).
@@ -368,9 +369,21 @@ class Engine:
             ))
 
         def scan_fn(state, raw_batches, key):
-            # only the losses are stacked; probs/y of the final step ride the
-            # carry (stacking all k [B, H, W] planes emitted a
-            # dynamic-update-slice per step only to be sliced back to [-1])
+            # stack_outputs=False: only the losses are stacked; probs/y of
+            # the final step ride the carry (stacking all k [B, H, W]
+            # planes emitted a dynamic-update-slice per step only to be
+            # sliced back to [-1]). With configured train metrics the
+            # stacks ARE wanted — every inner step's probs/y come back so
+            # metrics update per optimizer step, reference Keras-fit
+            # cadence (engine.py:126-135).
+            if stack_outputs:
+                def body_st(carry, raw):
+                    new_state, loss, probs, y = one_step(carry, raw, key)
+                    return new_state, (loss, probs, y)
+                state, (losses, probs, y) = jax.lax.scan(
+                    body_st, state, raw_batches)
+                return state, losses, probs, y
+
             raw_aval = jax.ShapeDtypeStruct(
                 raw_batches.shape[1:], raw_batches.dtype)
             _, _, probs_av, y_av = jax.eval_shape(
@@ -390,15 +403,16 @@ class Engine:
         inner_spec = self._data_sh.spec
         batch_sh = jax.sharding.NamedSharding(
             self.mesh, jax.sharding.PartitionSpec(None, *inner_spec))
+        out_sh = batch_sh if stack_outputs else self._data_sh
         return checks.checked(jax.jit(
             scan_fn,
             in_shardings=(self._rep, batch_sh, self._rep),
-            out_shardings=(self._rep, self._rep, self._data_sh,
-                           self._data_sh),
+            out_shardings=(self._rep, self._rep, out_sh, out_sh),
             donate_argnums=() if self.debug_asserts else (0,),
         ))
 
-    def _make_resident_train_step(self, dataset, n_sources, balanced, k):
+    def _make_resident_train_step(self, dataset, n_sources, balanced, k,
+                                  stack_outputs=False):
         '''Fully device-resident train step: the uint8 dataset tensor lives in
         HBM and each of the ``k`` scanned inner steps gathers its batch with
         on-device random indices — zero host work per step. Equal-probability
@@ -422,6 +436,17 @@ class Engine:
 
         def fn(state, data, starts, counts, key):
             sample_key = jax.random.fold_in(key, 0x5a5a5a5)
+            if stack_outputs:
+                # per-inner-step probs/y for per-step train metrics
+                def body_st(st, _):
+                    skey = jax.random.fold_in(sample_key, st['step'])
+                    raw = sample(data, starts, counts, skey)
+                    new_state, loss, probs, y = one_step(st, raw, key)
+                    return new_state, (loss, probs, y)
+                state, (losses, probs, y) = jax.lax.scan(
+                    body_st, state, None, length=k)
+                return state, losses, probs, y
+
             raw_aval = jax.ShapeDtypeStruct(
                 (batch,) + data.shape[1:], data.dtype)
             _, _, probs_av, y_av = jax.eval_shape(
@@ -440,12 +465,15 @@ class Engine:
                 body, carry0, None, length=k)
             return state, losses, probs, y
 
+        inner_spec = self._data_sh.spec
+        stacked_sh = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec(None, *inner_spec))
+        out_sh = stacked_sh if stack_outputs else self._data_sh
         return jax.jit(
             fn,
             in_shardings=(self._rep, self._rep, self._rep, self._rep,
                           self._rep),
-            out_shardings=(self._rep, self._rep, self._data_sh,
-                           self._data_sh),
+            out_shardings=(self._rep, self._rep, out_sh, out_sh),
             donate_argnums=(0,),
         )
 
@@ -545,16 +573,22 @@ class Engine:
         step_key = (repr(dataset.augment_methods),
                     tuple(dataset.slice_types),
                     tuple(dataset.feature_shape), self.debug_asserts)
+        train_metrics = self._build_metrics()
+        # with configured train metrics, multi-step scans stack every inner
+        # step's probs/y so metrics update per optimizer step (reference
+        # Keras-fit cadence); without metrics the cheaper final-step carry
+        # is used
+        stack = bool(train_metrics) and spc > 1
         train_step = self._cached_step(
             ('single',) + step_key, lambda: self._make_train_step(dataset))
         multi_step = (self._cached_step(
-            ('multi',) + step_key,
-            lambda: self._make_train_step(dataset, multi_step=True))
+            ('multi', stack) + step_key,
+            lambda: self._make_train_step(dataset, multi_step=True,
+                                          stack_outputs=stack))
             if spc > 1 else None)
         eval_step = self._cached_step(
             ('eval', tuple(dataset.slice_types)),
             lambda: self._make_eval_step(dataset.slice_types))
-        train_metrics = self._build_metrics()
 
         writer = None
         viz_callbacks = []
@@ -594,9 +628,11 @@ class Engine:
 
             def resident_step(k):
                 return self._cached_step(
-                    ('resident',) + step_key + (n_sources, balanced, k),
+                    ('resident', stack) + step_key + (n_sources, balanced,
+                                                      k),
                     lambda: self._make_resident_train_step(
-                        dataset, n_sources, balanced, k))
+                        dataset, n_sources, balanced, k,
+                        stack_outputs=stack and k > 1))
 
             batches = None
             logger.info(
@@ -702,18 +738,24 @@ class Engine:
                     self._profiling = False
 
                 boundary = step + chunk['k']
-                for inner_loss in losses:
+                chunk_stacked = stack and chunk['k'] > 1
+                for inner, inner_loss in enumerate(losses):
                     step += 1
                     n_done += 1
                     logs = {'loss': float(inner_loss),
                             'lr': float(self.schedule(step - 1))}
-                    # train metrics per step when stepping singly; once per
-                    # dispatch chunk otherwise (probs/y are the scan's last
-                    # inner step — the finest granularity the device loop keeps)
-                    if spc == 1 or step == boundary:
+                    # per-step train metrics: with configured metrics the
+                    # scan stacks every inner step's probs/y (chunk_stacked);
+                    # otherwise probs/y are the scan's final step only and
+                    # metrics log once per dispatch chunk
+                    if chunk_stacked:
+                        y_i, probs_i = y[inner], probs[inner]
+                    else:
+                        y_i, probs_i = y, probs
+                    if chunk_stacked or spc == 1 or step == boundary:
                         for metric in train_metrics:
                             metric.reset_state()
-                            metric.update_state(y, probs)
+                            metric.update_state(y_i, probs_i)
                             value = metric.result()
                             if np.ndim(value) == 0:
                                 logs[metric.name] = float(value)

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import pooling
+from . import fastbn
 from . import fastconv
 from .fastconv import Conv2DFast, ConvTranspose2DFast
 
@@ -158,7 +159,7 @@ class ConvChain(nn.Module):
             if act is not None:
                 x = act(x)
             if self.bn:
-                x = nn.BatchNorm(
+                x = fastbn.BatchNormFast(
                     use_running_average=not training,
                     momentum=0.99, epsilon=1e-3, dtype=self.dtype,
                     name=f'bn_{i}',
@@ -191,7 +192,7 @@ class Downsample(nn.Module):
         pooled = pooling.max_pool2d(conv, self.rate,
                                     data_format=self.data_format)
         if self.bn:
-            pooled = nn.BatchNorm(
+            pooled = fastbn.BatchNormFast(
                 use_running_average=not training,
                 momentum=0.99, epsilon=1e-3, dtype=self.dtype,
                 name='pool_bn',
@@ -224,7 +225,7 @@ class Upsample(nn.Module):
             name='tconv',
         )(x)
         if self.bn:
-            up = nn.BatchNorm(
+            up = fastbn.BatchNormFast(
                 use_running_average=not training,
                 momentum=0.99, epsilon=1e-3, dtype=self.dtype,
                 name='tconv_bn',
@@ -233,8 +234,14 @@ class Upsample(nn.Module):
         ay, ax = (2, 3) if nchw else (1, 2)
         cropped = center_crop_to(reference, up.shape[ay], up.shape[ax],
                                  data_format=self.data_format)
-        x = jnp.concatenate([up, cropped.astype(up.dtype)],
-                            axis=1 if nchw else -1)
+        if nchw:
+            x = jnp.concatenate([up, cropped.astype(up.dtype)], axis=1)
+        else:
+            # dual-input: the chain's first conv computes
+            # conv(concat(up, skip)) as two convs on the unconcatenated
+            # operands — identical math/params, no lane-shuffle concat
+            # forward and no split backward (see Conv2DFast)
+            x = (up, cropped.astype(up.dtype))
         x = ConvChain(
             filters=self.filters, kernel_size=self.kernel_size,
             conv_stride=self.conv_stride, bn=self.bn, n_conv=self.n_conv,

@@ -113,6 +113,21 @@ def _stencil_conv2d_raw(x, w, stride, pads, out_h, out_w, nchw=False):
         xp = jnp.pad(x, ((0, 0), (0, 0), pads[0], pads[1]))
     else:
         xp = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)))
+    if nchw and stride == (1, 1) and ci >= 8 and kh * kw > 1:
+        # single-einsum form: stack the kh*kw shifted windows along C and
+        # contract once with the tap-major-flattened kernel. The per-tap
+        # 'bihw,io' einsums each relayout their operand C-major for the
+        # dot (~10 us + launch apiece — the dominant 'copy' cluster in
+        # the small-model profile); one big contraction pays that once
+        # and feeds the MXU a kh*kw*ci-deep reduction instead of 9 thin
+        # ones.
+        patches = [
+            lax.slice(xp, (0, 0, dy, dx), (b, ci, dy + out_h, dx + out_w))
+            for dy in range(kh) for dx in range(kw)]
+        big = jnp.concatenate(patches, axis=1)          # [B, kh*kw*Ci, H, W]
+        out = jnp.einsum('bihw,io->bohw', big, w.reshape(kh * kw * ci, co),
+                         preferred_element_type=jnp.float32)
+        return out.astype(x.dtype) if out.dtype != x.dtype else out
     out = None
     for dy in range(kh):
         for dx in range(kw):
@@ -205,6 +220,20 @@ def _stencil_s1_bwd(pads, relu, nchw, res, g):
     taps = []
     if nchw:
         xp = jnp.pad(x, ((0, 0), (0, 0), pads[0], pads[1]))
+        if ci >= 8 and kh * kw > 1:
+            # same single-contraction trick as the forward (see
+            # _stencil_conv2d_raw): one [kh*kw*Ci]-deep einsum instead of
+            # kh*kw thin ones, one operand relayout instead of kh*kw
+            patches = [
+                lax.slice(xp, (0, 0, dy, dxx), (b, ci, dy + oh, dxx + ow))
+                for dy in range(kh) for dxx in range(kw)]
+            big = jnp.concatenate(patches, axis=1)
+            dw = jnp.einsum('bihw,bohw->io', big, g,
+                            preferred_element_type=jnp.float32)
+            dw = dw.reshape(kh, kw, ci, co).astype(w.dtype)
+            db = jnp.sum(g, axis=(0, 2, 3),
+                         dtype=jnp.float32).astype(x.dtype)
+            return dx, dw, db
         for dy in range(kh):
             for dxx in range(kw):
                 patch = lax.slice(xp, (0, 0, dy, dxx),
@@ -311,15 +340,26 @@ class Conv2DFast(nn.Module):
     def __call__(self, x):
         kh, kw = self.kernel_size
         nchw = self.data_format == 'NCHW'
-        ci = x.shape[1] if nchw else x.shape[-1]
+        ca = 1 if nchw else -1
+        # a tuple input means "conv of the channel-concat of the parts",
+        # computed WITHOUT materializing the concat: conv(concat(a, b), k)
+        # == conv(a, k[:, :, :ca]) + conv(b, k[:, :, ca:]). On TPU a
+        # channel concat at a non-128-multiple lane offset (e.g. the
+        # 64+64 skip join of the 64-filter UNet decoder) costs a full
+        # lane-shuffle pass forward AND a split in the backward — the
+        # split-kernel form keeps the exact parameter tree/math and skips
+        # both (reference joins skips with Concatenate,
+        # components.py:158-166).
+        parts = tuple(x) if isinstance(x, (tuple, list)) else (x,)
+        ci = sum(p.shape[ca] for p in parts)
         kernel = self.param(
             'kernel', nn.initializers.glorot_uniform(),
             (kh, kw, ci, self.features), jnp.float32)
         bias = self.param('bias', nn.initializers.zeros,
                           (self.features,), jnp.float32) \
             if self.use_bias else None
-        dtype = self.dtype or x.dtype
-        x = x.astype(dtype)
+        dtype = self.dtype or parts[0].dtype
+        parts = tuple(p.astype(dtype) for p in parts)
         kernel = kernel.astype(dtype)
         relu = self.activation == 'relu'
         assert self.activation in (None, 'relu'), self.activation
@@ -327,14 +367,23 @@ class Conv2DFast(nn.Module):
                  and self.features <= _SMALL_CHANNEL_LIMIT
                  and isinstance(self.padding, str))
         if small:
+            x = (parts[0] if len(parts) == 1
+                 else jnp.concatenate(parts, axis=ca))
             return stencil_conv2d(x, kernel, self.strides, self.padding,
                                   bias=bias, relu=relu,
                                   data_format=self.data_format)
-        out = lax.conv_general_dilated(
-            x, kernel, self.strides,
-            self.padding.upper() if isinstance(self.padding, str)
-            else self.padding,
-            dimension_numbers=(self.data_format, 'HWIO', self.data_format))
+        pad = (self.padding.upper() if isinstance(self.padding, str)
+               else self.padding)
+        dn = (self.data_format, 'HWIO', self.data_format)
+        out = None
+        off = 0
+        for p in parts:
+            c = p.shape[ca]
+            k = lax.slice_in_dim(kernel, off, off + c, axis=2)
+            y = lax.conv_general_dilated(p, k, self.strides, pad,
+                                         dimension_numbers=dn)
+            out = y if out is None else out + y
+            off += c
         if bias is not None:
             bb = bias.reshape(1, -1, 1, 1) if nchw else bias
             out = out + bb.astype(out.dtype)

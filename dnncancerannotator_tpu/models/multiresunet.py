@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import pooling
+from . import fastbn
 
 
 class ConvBN(nn.Module):
@@ -38,7 +39,7 @@ class ConvBN(nn.Module):
             use_bias=False, dtype=self.dtype, name='conv',
             kernel_init=nn.initializers.glorot_uniform(),
         )(x)
-        x = nn.BatchNorm(
+        x = fastbn.BatchNormFast(
             use_running_average=not training, momentum=0.99, epsilon=1e-3,
             use_scale=False, dtype=self.dtype, name='bn',
         )(x)
@@ -60,7 +61,7 @@ class TransConvBN(nn.Module):
             padding='SAME', dtype=self.dtype, name='tconv',
             kernel_init=nn.initializers.glorot_uniform(),
         )(x)
-        x = nn.BatchNorm(
+        x = fastbn.BatchNormFast(
             use_running_average=not training, momentum=0.99, epsilon=1e-3,
             use_scale=False, dtype=self.dtype, name='bn',
         )(x)
@@ -84,13 +85,13 @@ class MultiResBlock(nn.Module):
         c5 = ConvBN(f5, 3, dtype=self.dtype, name='conv5x5')(c3, training=training)
         c7 = ConvBN(f7, 3, dtype=self.dtype, name='conv7x7')(c5, training=training)
         out = jnp.concatenate([c3, c5, c7], axis=-1)
-        out = nn.BatchNorm(
+        out = fastbn.BatchNormFast(
             use_running_average=not training, momentum=0.99, epsilon=1e-3,
             dtype=self.dtype, name='bn_cat',
         )(out)
         out = shortcut + out
         out = nn.relu(out)
-        out = nn.BatchNorm(
+        out = fastbn.BatchNormFast(
             use_running_average=not training, momentum=0.99, epsilon=1e-3,
             dtype=self.dtype, name='bn_out',
         )(out)
@@ -111,7 +112,7 @@ class ResPath(nn.Module):
                          name=f'conv_{i}')(x, training=training)
             out = shortcut + out
             out = nn.relu(out)
-            out = nn.BatchNorm(
+            out = fastbn.BatchNormFast(
                 use_running_average=not training, momentum=0.99, epsilon=1e-3,
                 dtype=self.dtype, name=f'bn_{i}',
             )(out)
@@ -177,7 +178,7 @@ class MultiResUnet(nn.Module):
             dtype=dt, name='head_conv',
             kernel_init=nn.initializers.glorot_uniform(),
         )(m9)
-        logits = nn.BatchNorm(
+        logits = fastbn.BatchNormFast(
             use_running_average=not training, momentum=0.99, epsilon=1e-3,
             use_scale=False, dtype=dt, name='head_bn',
         )(logits)

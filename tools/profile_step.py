@@ -59,6 +59,10 @@ class _DS:
     batch_size = 8
     feature_shape = (8, 256, 256, 5)
 
+    def __init__(self, batch=8):
+        self.batch_size = batch
+        self.feature_shape = (batch, 256, 256, 5)
+
 
 def main():
     p = argparse.ArgumentParser()
@@ -67,6 +71,9 @@ def main():
     p.add_argument('--top', type=int, default=30)
     p.add_argument('--model', default='small', choices=('small', 'big'))
     p.add_argument('--precision', default=None)
+    p.add_argument('--dump-hlo', default=None,
+                   help='write the optimized train-step HLO to this path')
+    p.add_argument('--batch', type=int, default=8)
     args = p.parse_args()
 
     import jax
@@ -75,7 +82,8 @@ def main():
     eng, size, batch = build_engine(steps_per_call=args.steps,
                                     model=args.model,
                                     precision=args.precision)
-    eng.build(_DS.feature_shape)
+    batch = args.batch
+    eng.build((batch, 256, 256, 5))
     # device-resident data tensor: N slices of (size+12)^2 x 6 channels
     rng = np.random.default_rng(0)
     data = rng.integers(0, 255, (64, size + 12, size + 12, 6), np.uint8)
@@ -84,7 +92,13 @@ def main():
     counts = jax.device_put(jnp.full((1,), 64, jnp.int32), eng._rep)
     key = jax.random.PRNGKey(0)
 
-    step = eng._make_resident_train_step(_DS(), 1, False, args.steps)
+    step = eng._make_resident_train_step(_DS(batch), 1, False, args.steps)
+    if args.dump_hlo:
+        txt = step.lower(eng.state, data_dev, starts, counts,
+                         key).compile().as_text()
+        with open(args.dump_hlo, 'w') as f:
+            f.write(txt)
+        print('wrote optimized HLO to', args.dump_hlo, len(txt), 'bytes')
     # warm up / compile
     state, losses, probs, y = step(eng.state, data_dev, starts, counts, key)
     float(np.asarray(losses)[-1])
@@ -149,6 +163,22 @@ def main():
     print(f'... {len(rows)} distinct op groups, '
           f'{args.steps} inner steps -> {total_ops/args.steps:.0f} '
           'ops/step')
+
+    # second view: top individual instances (exact names, with any HLO
+    # detail the trace carries) — 'fusion' above is a grab-bag
+    inst = collections.defaultdict(lambda: [0, 0.0, ''])
+    for e in ops:
+        rec = inst[e['name']]
+        rec[0] += 1
+        rec[1] += e['dur']
+        if not rec[2] and e.get('args'):
+            rec[2] = str(e['args'].get('long_name')
+                         or e['args'].get('hlo_op') or '')[:100]
+    print()
+    print(f'{"instance":36s} {"count":>5s} {"total_us":>9s}  detail')
+    for name, (cnt, dur, detail) in sorted(
+            inst.items(), key=lambda kv: -kv[1][1])[:args.top]:
+        print(f'{name[:36]:36s} {cnt:5d} {dur:9.1f}  {detail}')
 
 
 if __name__ == '__main__':
