@@ -68,7 +68,8 @@ class _DirExamSource:
         self.slice_types = tuple(slice_types)
         self._exam = None
 
-    def iter_exams(self):
+    def iter_exams(self, pool=None):
+        del pool  # single exam; nothing to parallelize
         yield self.exam(0)
 
     def __len__(self):
@@ -105,11 +106,20 @@ def _sources(paths, slice_types):
     return [_DirExamSource(d, slice_types) for d in exam_dirs]
 
 
-def _source_stream(source, crop, repeat):
+def _resolve_pool(decode_pool):
+    ''''auto' -> one decode thread per host core (capped at 8); 0/1/None
+    -> serial. The native exam decoder releases the GIL, so threads give
+    real parallelism (reference analog: tf.data num_parallel_calls).'''
+    if decode_pool == 'auto':
+        return min(8, os.cpu_count() or 1)
+    return int(decode_pool or 0)
+
+
+def _source_stream(source, crop, repeat, pool=None):
     '''Slice elements of one source, optionally cycling forever.'''
     while True:
         count = 0
-        for exam in source.iter_exams():
+        for exam in source.iter_exams(pool=pool):
             for element in _exam_elements(exam, crop):
                 count += 1
                 yield element
@@ -159,7 +169,7 @@ class TrainDataset:
                  slice_types=DEFAULT_SLICE_TYPES, normalize_exams=True,
                  output_size=(256, 256), augment_options=None, base_size=512,
                  seed=0, device_cache=True, loader='native',
-                 grain_workers=0):
+                 grain_workers=0, decode_pool='auto'):
         assert loader in ('native', 'grain'), loader
         self.slice_types = tuple(slice_types)
         self.batch_size = batch_size
@@ -172,6 +182,7 @@ class TrainDataset:
         self.device_cache = device_cache
         self.loader = loader
         self.grain_workers = grain_workers
+        self.decode_pool = _resolve_pool(decode_pool)
         self.paths = path
         self.augment_methods = augment_mod.parse_augment_options(
             augment_options, self.slice_types, self.output_size)
@@ -225,7 +236,7 @@ class TrainDataset:
         for source in sources:
             starts.append(n)
             count = 0
-            for exam in source.iter_exams():
+            for exam in source.iter_exams(pool=self.decode_pool):
                 for img, _meta in _exam_elements(exam, self.host_crop):
                     total += img.nbytes
                     if total > budget_bytes:
@@ -254,7 +265,8 @@ class TrainDataset:
         while True:
             sources = _sources(self.paths, self.slice_types)
             streams = [
-                _source_stream(s, self.host_crop, repeat=self.normalize_exams)
+                _source_stream(s, self.host_crop, repeat=self.normalize_exams,
+                               pool=self.decode_pool)
                 for s in sources]
             yield from _interleave(streams)
             if not self.repeat:

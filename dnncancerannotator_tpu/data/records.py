@@ -302,13 +302,13 @@ class TFRecordExamReader:
     def __len__(self):
         return len(self.index)
 
-    def exam(self, i):
-        if i in self._cache:
-            self._cache.move_to_end(i)
-            return self._cache[i]
+    def _decode(self, i):
+        '''Pure decode of record ``i`` (no cache access — thread-safe).'''
         offset, length = self.index[i]
         buf = tfr.read_record_at(self.path, offset, length)
-        exam = parse_example_exam(buf, self.output_slice_types)
+        return parse_example_exam(buf, self.output_slice_types)
+
+    def _cache_put(self, i, exam):
         size = exam['slices'].nbytes
         while self._cache and self._cached_bytes + size > self.cache_bytes:
             _, old = self._cache.popitem(last=False)
@@ -316,8 +316,53 @@ class TFRecordExamReader:
         if size <= self.cache_bytes:
             self._cache[i] = exam
             self._cached_bytes += size
+
+    def exam(self, i):
+        if i in self._cache:
+            self._cache.move_to_end(i)
+            return self._cache[i]
+        exam = self._decode(i)
+        self._cache_put(i, exam)
         return exam
 
-    def iter_exams(self):
-        for i in range(len(self.index)):
-            yield self.exam(i)
+    def iter_exams(self, pool=None):
+        '''Iterate exams in record order.
+
+        ``pool``: decode up to that many uncached records concurrently in a
+        thread pool — ctypes releases the GIL for the native decoder
+        (native/exam_decoder.cc), so decode threads scale with host cores
+        (the reference leans on tf.data's num_parallel_calls for the same,
+        data.py:448-512). Only the consuming thread touches the LRU cache;
+        workers run the pure ``_decode``. The in-flight window is bounded
+        at 2x the pool so a slow consumer can't pile up decoded exams.
+        '''
+        n = len(self.index)
+        if not pool or pool <= 1 or n <= 1:
+            for i in range(n):
+                yield self.exam(i)
+            return
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=pool) as ex:
+            pending = collections.deque()
+            nxt = 0
+
+            def fill():
+                nonlocal nxt
+                while nxt < n and len(pending) < 2 * pool:
+                    i = nxt
+                    nxt += 1
+                    if i in self._cache:
+                        self._cache.move_to_end(i)
+                        pending.append((i, None, self._cache[i]))
+                    else:
+                        pending.append((i, ex.submit(self._decode, i), None))
+
+            fill()
+            while pending:
+                i, fut, exam = pending.popleft()
+                if fut is not None:
+                    exam = fut.result()
+                    self._cache_put(i, exam)
+                fill()
+                yield exam

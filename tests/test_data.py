@@ -236,3 +236,24 @@ def test_warp_constant_shift():
         jnp.asarray(img), jnp.asarray(src), jnp.asarray(dst)))
     # content moves +2 rows: out[y] ~ img[y-2]
     np.testing.assert_allclose(out[0, 12:16, 10:14, 0], 1.0, atol=0.15)
+
+
+def test_decode_pool_matches_serial(tmpdir):
+    '''Pooled exam decoding (records.TFRecordExamReader.iter_exams(pool=N))
+    must yield the identical exams in the identical order as the serial
+    path, including the cached-then-pooled mix.'''
+    from dnncancerannotator_tpu.data.records import TFRecordExamReader
+    cancer, _ = util_synth.make_tfrecords(str(tmpdir), size=64, n_patients=3)
+    serial = list(TFRecordExamReader(str(cancer)).iter_exams())
+    reader = TFRecordExamReader(str(cancer))
+    reader.exam(1)  # pre-populate one cache entry: mixed cache/pool path
+    pooled = list(reader.iter_exams(pool=4))
+    assert len(serial) == len(pooled) > 1
+    for a, b in zip(serial, pooled):
+        np.testing.assert_array_equal(a['slices'], b['slices'])
+        assert (a['patientID'], a['examID'], a['category']) == \
+            (b['patientID'], b['examID'], b['category'])
+    # pooled again, now fully cached
+    again = list(reader.iter_exams(pool=4))
+    for a, b in zip(serial, again):
+        np.testing.assert_array_equal(a['slices'], b['slices'])
