@@ -381,8 +381,9 @@ class EvalDataset:
         The final batch may be smaller.'''
         sources = _sources(self.paths, self.slice_types)
         imgs, metas = [], []
+        pool = _resolve_pool('auto')
         for source in sources:
-            for exam in source.iter_exams():
+            for exam in source.iter_exams(pool=pool):
                 for img, meta in _exam_elements(exam, self.output_size):
                     imgs.append(img)
                     metas.append(meta)
