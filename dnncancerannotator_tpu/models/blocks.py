@@ -145,6 +145,25 @@ class ConvChain(nn.Module):
             return fastconv.conv_chain_nchw(
                 x.astype(dtype), k1.astype(dtype), b1.astype(dtype),
                 k2.astype(dtype), b2.astype(dtype), pads)
+        # MXU "flatland" chain (opt-in, ops/pallas/flatchain.py): covers
+        # the mid-channel chains the scalar kernel rejects, same param tree
+        if (fuse_relu and not self.bn and self.n_conv == 2
+                and self.conv_stride == 1 and self.data_format == 'NCHW'
+                and not isinstance(x, (tuple, list))
+                and isinstance(self.padding, str)
+                and fastconv.flat_chain_ok(
+                    x.shape, self.kernel_size, self.filters,
+                    _canon_padding(self.padding), self.dtype)):
+            from ..ops.pallas import flatchain
+            from ..parallel import mesh as mesh_lib_
+            ks = (self.kernel_size, self.kernel_size)
+            k1, b1 = fastconv._ConvParams(self.filters, ks,
+                                          name='conv_0')(x.shape[1])
+            k2, b2 = fastconv._ConvParams(self.filters, ks,
+                                          name='conv_1')(self.filters)
+            return flatchain.conv_chain_flat_nchw(
+                x.astype(jnp.float32), k1, b1, k2, b2,
+                mesh_lib_.pallas_interpret())
         for i in range(self.n_conv):
             x = Conv2DFast(
                 features=self.filters,

@@ -456,6 +456,27 @@ class _ConvParams(nn.Module):
         return kernel, bias
 
 
+def flat_chain_ok(xshape, kernel_size, filters, padding, dtype):
+    '''Static eligibility of the MXU "flatland" chain kernel
+    (ops/pallas/flatchain.py). Opt-in via DNNCA_FLATCHAIN=1 while the
+    real-chip A/B is outstanding.'''
+    import os
+    if os.environ.get('DNNCA_FLATCHAIN') != '1':
+        return False
+    try:
+        interp = mesh_lib.pallas_interpret()
+        if jax.default_backend() == 'cpu' and not interp:
+            return False
+        if jax.device_count() != 1 and not interp:
+            return False
+        from ..ops.pallas import flatchain
+        kh = int(kernel_size)
+        return flatchain.flat_chain_ok(
+            xshape, kh, filters, padding, dtype)
+    except Exception:
+        return False
+
+
 def chain_pallas_ok(xshape, kernel_size, filters, padding):
     '''Static (trace-time) eligibility of the fused NCHW chain kernel.'''
     try:

@@ -110,3 +110,72 @@ def test_even_kernel_grads_match():
         gb = np.asarray(jax.grad(loss_ref, argnum)(x, w))
         np.testing.assert_allclose(ga, gb, rtol=1e-5,
                                    atol=1e-5 * np.abs(gb).max())
+
+
+def test_flat_chain_kernel_matches_xla(monkeypatch):
+    '''The MXU "flatland" chain kernel (ops/pallas/flatchain.py) must match
+    the XLA conv chain forward AND backward (interpret mode).'''
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from dnncancerannotator_tpu.ops.pallas.flatchain import (
+        conv_chain_flat_nchw)
+
+    rng = np.random.default_rng(3)
+    B, ci, cm, H, W = 4, 6, 12, 32, 32
+    x = jnp.asarray(rng.standard_normal((B, ci, H, W)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((3, 3, ci, cm)) * 0.2, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((cm,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((3, 3, cm, cm)) * 0.2, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((cm,)) * 0.1, jnp.float32)
+
+    def ref(x, w1, b1, w2, b2):
+        y = lax.conv_general_dilated(
+            x, w1, (1, 1), 'SAME',
+            dimension_numbers=('NCHW', 'HWIO', 'NCHW'))
+        y = jnp.maximum(y + b1.reshape(1, -1, 1, 1), 0)
+        y = lax.conv_general_dilated(
+            y, w2, (1, 1), 'SAME',
+            dimension_numbers=('NCHW', 'HWIO', 'NCHW'))
+        return jnp.maximum(y + b2.reshape(1, -1, 1, 1), 0)
+
+    cot = jnp.asarray(rng.standard_normal((B, cm, H, W)), jnp.float32)
+    want, ref_vjp = jax.vjp(ref, x, w1, b1, w2, b2)
+    got, flat_vjp = jax.vjp(
+        lambda *a: conv_chain_flat_nchw(*a, True), x, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5)
+    for name, a, b in zip(('dx', 'dw1', 'db1', 'dw2', 'db2'),
+                          flat_vjp(cot), ref_vjp(cot)):
+        scale = max(float(jnp.abs(b).max()), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-5,
+            err_msg=name)
+
+
+def test_flat_chain_wired_into_convchain(monkeypatch):
+    '''With DNNCA_FLATCHAIN=1 (+interpret), ConvChain must route eligible
+    NCHW chains through the flat kernel with an identical param tree and
+    matching outputs.'''
+    import jax
+    import jax.numpy as jnp
+    from dnncancerannotator_tpu.models import blocks
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 12, 16, 16)), jnp.float32)
+    chain = blocks.ConvChain(filters=12, kernel_size=3, conv_stride=1,
+                             bn=False, padding='SAME', data_format='NCHW')
+    params = chain.init(jax.random.PRNGKey(0), x)
+    base = chain.apply(params, x)
+
+    monkeypatch.setenv('DNNCA_FLATCHAIN', '1')
+    monkeypatch.setenv('DNNCA_PALLAS_INTERPRET', '1')
+    from dnncancerannotator_tpu.models import fastconv
+    assert fastconv.flat_chain_ok(x.shape, 3, 12, 'SAME', None), \
+        'flat path must be eligible under the test env'
+    params2 = chain.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(params2)
+    got = chain.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               atol=2e-5)
