@@ -467,7 +467,8 @@ def flat_chain_ok(xshape, kernel_size, filters, padding, dtype):
         interp = mesh_lib.pallas_interpret()
         if jax.default_backend() == 'cpu' and not interp:
             return False
-        if jax.device_count() != 1 and not interp:
+        if jax.device_count() != 1 and not interp \
+                and _conv_spmd_mesh(xshape[0]) is None:
             return False
         from ..ops.pallas import flatchain
         kh = int(kernel_size)

@@ -192,21 +192,41 @@ def conv_chain_flat_nchw(x, w1, b1, w2, b2, interpret=False):
     return out
 
 
+def _spmd_mesh(b):
+    '''The engine-announced data-parallel mesh, if one is active and the
+    per-shard batch is even (see fastconv._conv_spmd_mesh).'''
+    from ...models import fastconv
+    return fastconv._conv_spmd_mesh(b)
+
+
 def _chain_fwd(x, w1, b1, w2, b2, interpret):
+    import jax as _jax
     b, c, h, w = x.shape
     xf = x.reshape(b, c, h * w)
-    out, c1 = _fwd_call(xf, w1, b1, w2, b2, w, interpret)
+    fwd = functools.partial(_fwd_call, Wd=w, interpret=interpret)
+    mesh = _spmd_mesh(b)
+    if mesh is not None and _jax.device_count() != 1:
+        from ...models import fastconv
+        fwd = fastconv._shard_map_batch(fwd, mesh, n_batch_in=1, n_out=2)
+    out, c1 = fwd(xf, w1, b1, w2, b2)
     co = w2.shape[-1]
     return out.reshape(b, co, h, w), (xf, c1, out, w1, w2, (h, w))
 
 
 def _chain_bwd(interpret, res, g):
+    import jax as _jax
     xf, c1, out, w1, w2, (h, w) = res
     b = xf.shape[0]
     co = w2.shape[-1]
     gf = g.reshape(b, co, h * w)
-    dx, dw1, db1, dw2, db2 = _bwd_call(
-        xf, c1, out, gf, w1, w2, w, interpret)
+    bwd = functools.partial(_bwd_call, Wd=w, interpret=interpret)
+    mesh = _spmd_mesh(b)
+    if mesh is not None and _jax.device_count() != 1:
+        from ...models import fastconv
+        # dx stays batch-sharded; weight/bias grads psum across shards
+        bwd = fastconv._shard_map_batch(bwd, mesh, n_batch_in=4, n_out=5,
+                                        reduced_out=(1, 2, 3, 4))
+    dx, dw1, db1, dw2, db2 = bwd(xf, c1, out, gf, w1, w2)
     return (dx.reshape(b, xf.shape[1], h, w), dw1, db1, dw2, db2)
 
 

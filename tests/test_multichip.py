@@ -268,3 +268,32 @@ def test_pallas_kernels_spmd_interpret():
                extra_env={'DNNCA_PALLAS_INTERPRET': '1'})
     assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-2000:])
     assert 'PALLAS_SPMD_OK' in out.stdout
+
+
+FLAT_SPMD_SCRIPT = PALLAS_SPMD_SCRIPT.replace(
+    "n_filters_first=2, n_downsample=2", "n_filters_first=12, n_downsample=1")
+
+
+def test_flat_chain_spmd_interpret():
+    '''The MXU flatland chain kernel, shard_mapped over the data mesh
+    (interpret mode), must reproduce single-device training math. The
+    12-filter chains are rejected by the scalar chain kernel
+    (chain_supported), so with DNNCA_FLATCHAIN=1 they route through
+    ops/pallas/flatchain (asserted via flat_chain_ok in-script).'''
+    check = (
+        "import os; os.environ['DNNCA_FLATCHAIN']='1';"
+        "os.environ['DNNCA_PALLAS_INTERPRET']='1';"
+        "import sys; sys.path.insert(0, %r);"
+        "from dnncancerannotator_tpu.models import fastconv;"
+        "assert fastconv.flat_chain_ok((8, 12, 16, 16), 3, 12, 'SAME', None);"
+        "assert not fastconv.chain_pallas_ok((8, 12, 16, 16), 3, 12, 'SAME')"
+        % REPO)
+    out = _run(['-c', check], timeout=240,
+               extra_env={'DNNCA_PALLAS_INTERPRET': '1',
+                          'DNNCA_FLATCHAIN': '1'})
+    assert out.returncode == 0, (out.stdout[-500:], out.stderr[-1500:])
+    out = _run(['-c', FLAT_SPMD_SCRIPT], timeout=560,
+               extra_env={'DNNCA_PALLAS_INTERPRET': '1',
+                          'DNNCA_FLATCHAIN': '1'})
+    assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-2000:])
+    assert 'PALLAS_SPMD_OK' in out.stdout
