@@ -14,12 +14,25 @@ step (RESULTS.md round 3). The backward emits dx and all four
 weight/bias grads in one kernel, with [HW]-deep (K=4096) weight-grad
 contractions accumulated across the batch grid.
 
+Two kernel strategies, switched by ``DNNCA_FLATCHAIN_IM2COL``:
+
+- ``dots`` (0): nine [Cm,Ci]@[Ci,HW] dots per conv. MXU K-utilization is
+  Ci/128 (5-19%% at these widths) — most of the systolic array idles.
+- ``im2col`` (1, default): stack the nine masked rolls into a VMEM
+  scratch [9*Cp, HW] (channels padded to a multiple of the f32 sublane
+  tile so every block write/read is tile-aligned) and contract the whole
+  stencil in ONE dot [Cm, 9*Cp]@[9*Cp, HW] per conv — K grows 9x, and
+  the weight gradients become single K=HW dots against the same scratch.
+  Zero-padded channel rows ride through every product as exact zeros, so
+  no in-kernel masking or unaligned interior reads are ever needed.
+
 Numerics: f32 in/out, f32 MXU accumulation; forward matches the XLA
 conv chain to ~3e-6, gradients to <1e-6 relative (tests/test_fastconv).
 Reference conv pair: annotator/models/tf_models/components.py:46-61.
 '''
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -113,6 +126,204 @@ def _bwd_kernel(x_ref, w1_ref, w1t_ref, w2_ref, w2t_ref, c1_ref, o_ref,
     dx_ref[0] = acc
 
 
+def _im2col():
+    '''Kernel strategy: im2col-in-VMEM single-dot convs (default) vs the
+    original nine-dot formulation (DNNCA_FLATCHAIN_IM2COL=0).'''
+    return os.environ.get('DNNCA_FLATCHAIN_IM2COL', '1') == '1'
+
+
+def _pad8(c):
+    '''Round a channel count up to the f32 sublane tile (8 rows) so tap
+    blocks in the [9*Cp, HW] im2col scratch are tile-aligned.'''
+    return -(-c // 8) * 8
+
+
+def _fwd_kernel_im2col(x_ref, w1f_ref, b1_ref, w2f_ref, b2_ref, o_ref,
+                       c1_ref, im1_ref, im2_ref, *, W, interpret):
+    '''One image: im1/im2 are [9*Cp, HW] scratches; each conv is ONE dot.
+
+    x_ref [1, Cip, HW] (rows >= Ci zero), w1f [Cmp, 9*Cip],
+    w2f [Co, 9*Cmp]; c1 is saved padded ([1, Cmp, HW], zero rows) so the
+    backward can rebuild its im2col stack with tile-aligned writes only.
+    '''
+    x = x_ref[0]
+    hw = x.shape[-1]
+    cip = x.shape[0]
+    cmp_ = c1_ref.shape[1]
+    taps = _taps(hw, W)
+
+    for t, (s, valid) in enumerate(taps):
+        im1_ref[t * cip:(t + 1) * cip] = jnp.where(
+            valid, _roll(x, s, hw, interpret), 0.0)
+    c1 = lax.dot_general(w1f_ref[:], im1_ref[:], (((1,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32)
+    c1 = jnp.maximum(c1 + b1_ref[:, 0:1], 0.0)
+    c1_ref[0] = c1
+
+    for t, (s, valid) in enumerate(taps):
+        im2_ref[t * cmp_:(t + 1) * cmp_] = jnp.where(
+            valid, _roll(c1, s, hw, interpret), 0.0)
+    out = lax.dot_general(w2f_ref[:], im2_ref[:], (((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32)
+    o_ref[0] = jnp.maximum(out + b2_ref[:, 0:1], 0.0)
+
+
+def _bwd_kernel_im2col(x_ref, w1s_ref, w2s_ref, c1_ref, o_ref,
+                       g_ref, dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                       ima_ref, imb_ref, *, W, interpret):
+    '''One image: dx + all four weight/bias grads, single-dot contractions.
+
+    w1s [9*Cip, Cmp] / w2s [9*Cmp, Co] are the tap-stacked (non-transposed)
+    weights; their zero-padded rows make every scratch row beyond the true
+    channel count an exact zero, so tap blocks are consumed with full-tile
+    reads and no masking. Weight grads accumulate across the batch grid.
+    '''
+    x = x_ref[0]                        # [Cip, HW]
+    hw = x.shape[-1]
+    cip = x.shape[0]
+    cmp_ = c1_ref.shape[1]
+    taps = _taps(hw, W)
+    first = pl.program_id(0) == 0
+    g2 = jnp.where(o_ref[0] > 0, g_ref[0], 0.0)      # [Co, HW]
+    c1 = c1_ref[0]                                    # [Cmp, HW] (zero rows)
+
+    # rebuild conv2's im2col stack from c1 -> imb
+    for t, (s, valid) in enumerate(taps):
+        imb_ref[t * cmp_:(t + 1) * cmp_] = jnp.where(
+            valid, _roll(c1, s, hw, interpret), 0.0)
+    dw2 = lax.dot_general(g2, imb_ref[:], (((1,), (1,)), ((), ())),
+                          preferred_element_type=jnp.float32)  # [Co, 9*Cmp]
+    dw2_ref[:] = jnp.where(first, 0.0, dw2_ref[:]) + dw2
+    db2_ref[:, 0] = (jnp.where(first, 0.0, db2_ref[:, 0])
+                     + jnp.sum(g2, axis=1))
+
+    # dc1 = relu'(c1) * sum_t roll^-1(mask_t * (W2_t @ g2)) — one dot
+    # produces all nine tap terms stacked; zero rows stay zero.
+    imb_ref[:] = lax.dot_general(w2s_ref[:], g2, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    dc1 = jnp.zeros(c1.shape, jnp.float32)
+    for t, (s, valid) in enumerate(taps):
+        term = imb_ref[t * cmp_:(t + 1) * cmp_]
+        dc1 = dc1 + _roll(jnp.where(valid, term, 0.0), -s, hw, interpret)
+    dc1 = jnp.where(c1 > 0, dc1, 0.0)                 # [Cmp, HW]
+
+    # rebuild conv1's im2col stack from x -> ima
+    for t, (s, valid) in enumerate(taps):
+        ima_ref[t * cip:(t + 1) * cip] = jnp.where(
+            valid, _roll(x, s, hw, interpret), 0.0)
+    dw1 = lax.dot_general(dc1, ima_ref[:], (((1,), (1,)), ((), ())),
+                          preferred_element_type=jnp.float32)  # [Cmp, 9*Cip]
+    dw1_ref[:] = jnp.where(first, 0.0, dw1_ref[:]) + dw1
+    db1_ref[:, 0] = (jnp.where(first, 0.0, db1_ref[:, 0])
+                     + jnp.sum(dc1, axis=1))
+
+    # dx = sum_t roll^-1(mask_t * (W1_t @ dc1)) — stacked by one dot
+    ima_ref[:] = lax.dot_general(w1s_ref[:], dc1, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    acc = jnp.zeros(x.shape, jnp.float32)
+    for t, (s, valid) in enumerate(taps):
+        term = ima_ref[t * cip:(t + 1) * cip]
+        acc = acc + _roll(jnp.where(valid, term, 0.0), -s, hw, interpret)
+    dx_ref[0] = acc
+
+
+def _im2col_weights(w1, b1, w2, ci, cm):
+    '''Pack HWIO weights for the im2col kernels.
+
+    Returns (w1f [Cmp, 9*Cip], b1p [Cmp], w1s [9*Cip, Cmp],
+             cip, cmp); rows/cols beyond the true channel counts are zero.
+    '''
+    cip, cmp_ = _pad8(ci), _pad8(cm)
+    w1r = jnp.pad(w1.reshape(9, ci, cm),
+                  ((0, 0), (0, cip - ci), (0, cmp_ - cm)))
+    w1s = w1r.reshape(9 * cip, cmp_)
+    w1f = jnp.transpose(w1s)
+    b1p = jnp.pad(b1, (0, cmp_ - cm))
+    return w1f, b1p, w1s, cip, cmp_
+
+
+def _fwd_call_im2col(xf, w1, b1, w2, b2, Wd, interpret):
+    b, ci, hw = xf.shape
+    cm, co = w1.shape[-1], w2.shape[-1]
+    w1f, b1p, _, cip, cmp_ = _im2col_weights(w1, b1, w2, ci, cm)
+    w2r = jnp.pad(w2.reshape(9, cm, co), ((0, 0), (0, cmp_ - cm), (0, 0)))
+    w2f = jnp.transpose(w2r.reshape(9 * cmp_, co))
+    xp = jnp.pad(xf, ((0, 0), (0, cip - ci), (0, 0)))
+    out, c1 = pl.pallas_call(
+        functools.partial(_fwd_kernel_im2col, W=Wd, interpret=interpret),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, cip, hw), lambda i: (i, 0, 0)),
+            pl.BlockSpec((cmp_, 9 * cip), lambda i: (0, 0)),
+            pl.BlockSpec((cmp_, 1), lambda i: (0, 0)),
+            pl.BlockSpec((co, 9 * cmp_), lambda i: (0, 0)),
+            pl.BlockSpec((co, 1), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, co, hw), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, cmp_, hw), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, co, hw), jnp.float32),
+            jax.ShapeDtypeStruct((b, cmp_, hw), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((9 * cip, hw), jnp.float32),
+            pltpu.VMEM((9 * cmp_, hw), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp, w1f, b1p[:, None], w2f, b2[:, None])
+    return out, c1
+
+
+def _bwd_call_im2col(xf, c1p, out, g, w1, w2, Wd, interpret):
+    '''c1p is the padded [B, Cmp, HW] residual saved by the forward.'''
+    b, ci, hw = xf.shape
+    cm, co = w1.shape[-1], w2.shape[-1]
+    _, _, w1s, cip, cmp_ = _im2col_weights(w1, jnp.zeros((cm,), w1.dtype),
+                                           w2, ci, cm)
+    w2r = jnp.pad(w2.reshape(9, cm, co), ((0, 0), (0, cmp_ - cm), (0, 0)))
+    w2s = w2r.reshape(9 * cmp_, co)
+    xp = jnp.pad(xf, ((0, 0), (0, cip - ci), (0, 0)))
+    dxp, dw1f, db1p, dw2f, db2 = pl.pallas_call(
+        functools.partial(_bwd_kernel_im2col, W=Wd, interpret=interpret),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, cip, hw), lambda i: (i, 0, 0)),
+            pl.BlockSpec((9 * cip, cmp_), lambda i: (0, 0)),
+            pl.BlockSpec((9 * cmp_, co), lambda i: (0, 0)),
+            pl.BlockSpec((1, cmp_, hw), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, co, hw), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, co, hw), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, cip, hw), lambda i: (i, 0, 0)),
+            pl.BlockSpec((cmp_, 9 * cip), lambda i: (0, 0)),
+            pl.BlockSpec((cmp_, 1), lambda i: (0, 0)),
+            pl.BlockSpec((co, 9 * cmp_), lambda i: (0, 0)),
+            pl.BlockSpec((co, 1), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, cip, hw), jnp.float32),
+            jax.ShapeDtypeStruct((cmp_, 9 * cip), jnp.float32),
+            jax.ShapeDtypeStruct((cmp_, 1), jnp.float32),
+            jax.ShapeDtypeStruct((co, 9 * cmp_), jnp.float32),
+            jax.ShapeDtypeStruct((co, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((9 * cip, hw), jnp.float32),
+            pltpu.VMEM((9 * cmp_, hw), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp, w1s, w2s, c1p, out, g)
+    dx = dxp[:, :ci]
+    dw1 = jnp.transpose(dw1f).reshape(9, cip, cmp_)[:, :ci, :cm] \
+        .reshape(3, 3, ci, cm)
+    dw2 = jnp.transpose(dw2f).reshape(9, cmp_, co)[:, :cm] \
+        .reshape(3, 3, cm, co)
+    return dx, dw1, db1p[:cm, 0], dw2, db2[:, 0]
+
+
 def _fwd_call(xf, w1, b1, w2, b2, Wd, interpret):
     b, ci, hw = xf.shape
     cm, co = w1.shape[-1], w2.shape[-1]
@@ -203,7 +414,8 @@ def _chain_fwd(x, w1, b1, w2, b2, interpret):
     import jax as _jax
     b, c, h, w = x.shape
     xf = x.reshape(b, c, h * w)
-    fwd = functools.partial(_fwd_call, Wd=w, interpret=interpret)
+    fwd = functools.partial(_fwd_call_im2col if _im2col() else _fwd_call,
+                            Wd=w, interpret=interpret)
     mesh = _spmd_mesh(b)
     if mesh is not None and _jax.device_count() != 1:
         from ...models import fastconv
@@ -219,7 +431,8 @@ def _chain_bwd(interpret, res, g):
     b = xf.shape[0]
     co = w2.shape[-1]
     gf = g.reshape(b, co, h * w)
-    bwd = functools.partial(_bwd_call, Wd=w, interpret=interpret)
+    bwd = functools.partial(_bwd_call_im2col if _im2col() else _bwd_call,
+                            Wd=w, interpret=interpret)
     mesh = _spmd_mesh(b)
     if mesh is not None and _jax.device_count() != 1:
         from ...models import fastconv
@@ -245,7 +458,14 @@ def flat_chain_ok(xshape, kernel_size, filters, padding, dtype):
     if hw > 128 * 128 or w % 8 != 0:
         return False
     cmax = max(ci, filters)
-    # fwd resident: x + c1 + out blocks + 9 weight taps; ~6 planes margin
-    if 6 * cmax * hw * 4 > 12 * 1024 * 1024:
+    if _im2col():
+        # bwd resident: two [9*Cp, HW] scratches + ~5 double-buffered
+        # activation blocks
+        cip, cmp_ = _pad8(ci), _pad8(filters)
+        vmem = (9 * (cip + cmp_) + 10 * cmax) * hw * 4
+    else:
+        # fwd resident: x + c1 + out blocks + 9 weight taps; ~6 planes margin
+        vmem = 6 * cmax * hw * 4
+    if vmem > 12 * 1024 * 1024:
         return False
     return True

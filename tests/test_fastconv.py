@@ -112,14 +112,18 @@ def test_even_kernel_grads_match():
                                    atol=1e-5 * np.abs(gb).max())
 
 
-def test_flat_chain_kernel_matches_xla(monkeypatch):
+@pytest.mark.parametrize('im2col', ['0', '1'])
+def test_flat_chain_kernel_matches_xla(monkeypatch, im2col):
     '''The MXU "flatland" chain kernel (ops/pallas/flatchain.py) must match
-    the XLA conv chain forward AND backward (interpret mode).'''
+    the XLA conv chain forward AND backward (interpret mode), under both
+    the nine-dot and the im2col-in-VMEM strategies.'''
     import jax
     import jax.numpy as jnp
     from jax import lax
     from dnncancerannotator_tpu.ops.pallas.flatchain import (
         conv_chain_flat_nchw)
+
+    monkeypatch.setenv('DNNCA_FLATCHAIN_IM2COL', im2col)
 
     rng = np.random.default_rng(3)
     B, ci, cm, H, W = 4, 6, 12, 32, 32
