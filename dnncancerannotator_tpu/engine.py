@@ -132,6 +132,12 @@ class Engine:
         self.debug_asserts = bool(deploy.pop('debug_asserts', False))
         self.max_checkpoints_to_keep = deploy.pop(
             'max_checkpoints_to_keep', None)
+        # opt-in MXU "flatland" chain kernels for the mid-channel ConvChains
+        # (ops/pallas/flatchain.py). The gate is read from the environment at
+        # model trace time, so the config option just sets it process-wide.
+        flatchain = deploy.pop('flatchain', None)
+        if flatchain is not None:
+            os.environ['DNNCA_FLATCHAIN'] = '1' if flatchain else '0'
 
         self.model_name = model_config['model']
         self.model, regularizer = models_lib.build_model(

@@ -183,3 +183,30 @@ def test_flat_chain_wired_into_convchain(monkeypatch):
     got = chain.apply(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(base),
                                atol=2e-5)
+
+
+def test_flatchain_config_option(monkeypatch, tmp_path):
+    '''deploy_options.flatchain (configs/additionals/flatchain.yaml) must
+    set the process-wide kernel gate that flat_chain_ok reads.'''
+    import os
+    import yaml
+    from dnncancerannotator_tpu import engine as engine_lib
+
+    monkeypatch.delenv('DNNCA_FLATCHAIN', raising=False)
+    cfg = {
+        'model': 'UNetAnnotator',
+        'model_options': dict(n_filters_first=2, n_downsample=1, rate=2,
+                              kernel_size=3, conv_stride=1, bn=False,
+                              padding='same'),
+        'deploy_options': {'optimizer': 'adam', 'enable_multigpu': False},
+    }
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    overlay = yaml.safe_load(
+        open(os.path.join(repo, 'configs/additionals/flatchain.yaml')))
+    assert overlay == {'deploy_options.flatchain': True}
+    cfg['deploy_options']['flatchain'] = True
+    engine_lib.Engine(yaml.safe_load(yaml.safe_dump(cfg)), seed=0)
+    assert os.environ.get('DNNCA_FLATCHAIN') == '1'
+    cfg['deploy_options']['flatchain'] = False
+    engine_lib.Engine(yaml.safe_load(yaml.safe_dump(cfg)), seed=0)
+    assert os.environ.get('DNNCA_FLATCHAIN') == '0'
