@@ -29,6 +29,7 @@ tensors into fixed-shape masked math that jits, vmaps and shards cleanly.
 
 import functools
 import logging
+import weakref
 
 import jax
 import jax.numpy as jnp
@@ -155,6 +156,11 @@ def region_confusion_batch(y_true, y_pred, thresholds, *, iou_threshold=0.30,
     return tuple(x.reshape(n_chunks * chunk, *x.shape[2:])[:b] for x in out)
 
 
+# (weakref(y_true), weakref(y_pred), param_key, counts) entries; bounded,
+# and entries die with their batch arrays — see _RegionBasedMetric._raw.
+_RAW_CACHE = []
+
+
 class _RegionBasedMetric:
     '''Base for region metrics; mirrors reference _RegionBasedMetric API.'''
 
@@ -178,7 +184,47 @@ class _RegionBasedMetric:
     # -- raw count APIs (reference metrics.py:206-302) ---------------------
     MAX_REGION_CAP = 2048  # escalation ceiling; beyond this, truncate + warn
 
+    def _param_key(self):
+        '''Everything the raw counts depend on. Capacities are excluded on
+        purpose: escalation re-runs until nothing overflows, so the final
+        counts are independent of the starting caps.'''
+        return (tuple(np.asarray(self.thresholds).ravel().tolist()),
+                self.IoU_threshold, self.resize_factor,
+                self.morph_filter_size)
+
     def _raw(self, y_true, y_pred):
+        '''Region counts, deduped across metric instances.
+
+        A metric suite routinely holds many region metrics with identical
+        parameters (precision/recall/TP/FP/FN/F-beta all at the same
+        threshold — 9 instances in configs/additionals/metrics.yaml); the
+        engine feeds every one the same (y, p) batch arrays, which made the
+        most expensive computation in eval run 9x. Results are memoized on
+        the *identity* of the input arrays (weakrefs, so entries die with
+        their batch) keyed by the metric parameters.
+        '''
+        key = self._param_key()
+        alive = []
+        hit = None
+        for ent in _RAW_CACHE:
+            yt, yp = ent[0](), ent[1]()
+            if yt is None or yp is None:
+                continue
+            alive.append(ent)
+            if ent[2] == key and yt is y_true and yp is y_pred:
+                hit = ent[3]
+        if hit is not None:
+            return hit
+        out = self._raw_uncached(y_true, y_pred)
+        try:
+            alive.append((weakref.ref(y_true), weakref.ref(y_pred), key, out))
+        except TypeError:
+            pass  # plain lists/np scalars may not be weakref-able
+        del _RAW_CACHE[:]
+        _RAW_CACHE.extend(alive[-8:])
+        return out
+
+    def _raw_uncached(self, y_true, y_pred):
         '''Region counts with automatic capacity escalation.
 
         The jitted kernel uses static region capacities; when an image's
@@ -186,6 +232,9 @@ class _RegionBasedMetric:
         thresholds routinely do), the batch is re-run with the caps doubled
         until everything fits — matching the reference's exact ragged
         semantics (metrics.py:261,300) without dynamic shapes under jit.
+        Escalated capacities persist on the instance so later batches start
+        at the working size (no per-batch re-escalation passes, and no
+        intermediate recompiles through the relayed compiler).
         '''
         from ..parallel import mesh as mesh_lib
         y_true, y_pred = jnp.asarray(y_true), jnp.asarray(y_pred)
@@ -211,12 +260,16 @@ class _RegionBasedMetric:
             need_l = int(np.asarray(n_lab).max(initial=0))
             need_p = int(np.asarray(n_pred).max(initial=0))
             if need_l <= lcap and need_p <= pcap:
+                self.max_label_regions = lcap
+                self.max_pred_regions = pcap
                 return tp, fn, tp_pred, fp
             if lcap >= self.MAX_REGION_CAP and pcap >= self.MAX_REGION_CAP:
                 logging.warning(
                     'region counts (%d labels, %d preds) exceed the %d '
                     'escalation ceiling; overflow regions counted as '
                     'undetected', need_l, need_p, self.MAX_REGION_CAP)
+                self.max_label_regions = lcap
+                self.max_pred_regions = pcap
                 return tp, fn, tp_pred, fp
             while lcap < min(need_l, self.MAX_REGION_CAP):
                 lcap *= 2
