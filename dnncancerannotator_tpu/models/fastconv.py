@@ -417,6 +417,19 @@ class ConvTranspose2DFast(nn.Module):
         small = (ci <= _SMALL_CHANNEL_LIMIT
                  and self.features <= _SMALL_CHANNEL_LIMIT
                  and (kh, kw) == tuple(self.strides))
+        from ..ops.pallas import tconv_kernel
+        if dtype == jnp.float32 and not small and tconv_kernel.tconv_pallas_ok(
+                x.shape, self.kernel_size, self.strides, self.features,
+                self.data_format, self.dtype):
+            # fused Pallas tconv: dots + layout-identity interleave, zero
+            # strided copies (opt-in DNNCA_PTCONV=1, see ops/pallas/
+            # tconv_kernel.py); bias rides inside the kernel
+            out = tconv_kernel.conv_transpose2x2_nhwc(
+                x, kernel,
+                bias if bias is not None else jnp.zeros(
+                    (self.features,), jnp.float32),
+                mesh_lib.pallas_interpret())
+            return out
         if small:
             # positional: custom_vjp functions reject keyword arguments
             out = stencil_conv_transpose2d(x, kernel, kh, self.data_format)

@@ -53,105 +53,18 @@ def _pick_hb(H, W, ci, co):
 
 
 def make_fns(interpret):
+    """The kernels live in the library now (ops/pallas/tconv_kernel.py);
+    this harness benches/checks the production code."""
     import jax
     import jax.numpy as jnp
     from jax import lax
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    def fwd_kernel(x_ref, w_ref, b_ref, o_ref):
-        hb, W, ci = x_ref.shape[1:]
-        co = o_ref.shape[-1]
-        xf = x_ref[0].reshape(hb * W, ci)
-        for dy in (0, 1):
-            p = lax.dot_general(xf, w_ref[dy], (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-            q = p.reshape(hb * 2 * W, co) + b_ref[0:1]
-            for r in range(hb):
-                o_ref[0, 2 * r + dy] = q[r * 2 * W:(r + 1) * 2 * W]
-
-    def bwd_kernel(x_ref, g_ref, w_ref, dx_ref, dw_ref, db_ref, g_scr):
-        hb, W, ci = x_ref.shape[1:]
-        co = g_ref.shape[-1]
-        first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
-        xf = x_ref[0].reshape(hb * W, ci)
-        dxf = jnp.zeros((hb * W, ci), jnp.float32)
-        db = jnp.zeros((co,), jnp.float32)
-        for dy in (0, 1):
-            for r in range(hb):
-                g_scr[r * 2 * W:(r + 1) * 2 * W] = g_ref[0, 2 * r + dy]
-            db = db + jnp.sum(g_scr[:], axis=0)
-            gp = g_scr[:].reshape(hb * W, 2 * co)
-            contrib = lax.dot_general(
-                xf, gp, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)          # [ci, 2co]
-            dw_ref[dy] = jnp.where(first, 0.0, dw_ref[dy]) + contrib
-            dxf = dxf + lax.dot_general(
-                gp, w_ref[dy], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)          # [hb*W, ci]
-        db_ref[0] = jnp.where(first, 0.0, db_ref[0]) + db
-        dx_ref[0] = dxf.reshape(hb, W, ci)
-
-    def pack_w(w):
-        # lax.conv_transpose applies the kernel spatially FLIPPED:
-        # out[2y+dy, 2x+dx] = sum_ci x[y,x,ci] * w[1-dy, 1-dx, ci, :].
-        # Pack [2,2,ci,co] -> [2, ci, 2co]: wp[dy] lanes = [phase dx=0 |
-        # phase dx=1] = [w[1-dy,1] | w[1-dy,0]].
-        wf = w[::-1, ::-1]
-        return jnp.concatenate([wf[:, 0], wf[:, 1]], axis=-1)
+    from dnncancerannotator_tpu.ops.pallas import tconv_kernel as TK
 
     def fwd(x, w, b):
-        B, H, W, ci = x.shape
-        co = w.shape[-1]
-        hb = _pick_hb(H, W, ci, co)
-        wp = pack_w(w)
-        return pl.pallas_call(
-            fwd_kernel,
-            grid=(B, H // hb),
-            in_specs=[
-                pl.BlockSpec((1, hb, W, ci), lambda i, j: (i, j, 0, 0)),
-                pl.BlockSpec((2, ci, 2 * co), lambda i, j: (0, 0, 0)),
-                pl.BlockSpec((1, co), lambda i, j: (0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, 2 * hb, 2 * W, co),
-                                   lambda i, j: (i, j, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((B, 2 * H, 2 * W, co),
-                                           jnp.float32),
-            interpret=interpret,
-        )(x, wp, b[None, :])
+        return TK._fwd_call(x, w, b, interpret)
 
     def bwd(x, g, w):
-        B, H, W, ci = x.shape
-        co = w.shape[-1]
-        hb = _pick_hb(H, W, ci, co)
-        wp = pack_w(w)
-        dx, dwp, db = pl.pallas_call(
-            bwd_kernel,
-            grid=(B, H // hb),
-            in_specs=[
-                pl.BlockSpec((1, hb, W, ci), lambda i, j: (i, j, 0, 0)),
-                pl.BlockSpec((1, 2 * hb, 2 * W, co),
-                             lambda i, j: (i, j, 0, 0)),
-                pl.BlockSpec((2, ci, 2 * co), lambda i, j: (0, 0, 0)),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, hb, W, ci), lambda i, j: (i, j, 0, 0)),
-                pl.BlockSpec((2, ci, 2 * co), lambda i, j: (0, 0, 0)),
-                pl.BlockSpec((1, co), lambda i, j: (0, 0)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((B, H, W, ci), jnp.float32),
-                jax.ShapeDtypeStruct((2, ci, 2 * co), jnp.float32),
-                jax.ShapeDtypeStruct((1, co), jnp.float32),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((hb * 2 * W, co), jnp.float32),
-            ],
-            interpret=interpret,
-        )(x, g, wp)
-        # unpack dw: invert pack_w ([2, ci, 2co] -> flipped [2, 2, ci, co])
-        dw = jnp.stack([dwp[:, :, :co], dwp[:, :, co:]], axis=1)[::-1, ::-1]
-        return dx, dw, db[0]
+        return TK._bwd_call(x, g, w, interpret)
 
     def xla_tconv(x, w, b):
         return lax.conv_transpose(
