@@ -35,6 +35,15 @@ def max_pool2d(x, rate, data_format='NHWC'):
     h, w = x.shape[ay], x.shape[ax]
     oh, ow = h // rate, w // rate
 
+    # fused Pallas pool (opt-in DNNCA_PPOOL=1): one kernel per direction,
+    # no pad-interleave copies in the backward (ops/pallas/pool_kernel.py)
+    if x.ndim == 4 and x.dtype == jnp.float32:
+        from .pallas import pool_kernel
+        if pool_kernel.pool_pallas_ok(x.shape, rate, data_format, x.dtype):
+            from ..parallel import mesh as mesh_lib
+            return pool_kernel.max_pool2x2_nhwc(
+                x, mesh_lib.pallas_interpret())
+
     def sl(arr, axis, start, stop, step=1):
         idx = [slice(None)] * arr.ndim
         idx[axis] = slice(start, stop, step)

@@ -25,6 +25,11 @@ if ! grep -q DONE /tmp/ab_flatchain.log 2>/dev/null; then
 fi
 echo "[$(date +%H:%M:%S)] tconv microbench" >> "$LOG"
 timeout 1200 python tools/proto_tconv.py --bench >> "$LOG" 2>&1
+echo "[$(date +%H:%M:%S)] pool microbench" >> "$LOG"
+timeout 1200 python tools/bench_pool.py >> "$LOG" 2>&1
 echo "[$(date +%H:%M:%S)] region eval timing" >> "$LOG"
 timeout 1800 python tools/bench_region_eval.py >> "$LOG" 2>&1
+echo "[$(date +%H:%M:%S)] unet_big step A/B (tconv+pool kernels)" >> "$LOG"
+timeout 1200 python tools/profile_step.py --model big --batch 8 --steps 30 >> "$LOG" 2>&1
+DNNCA_PTCONV=1 DNNCA_PPOOL=1 timeout 1200 python tools/profile_step.py --model big --batch 8 --steps 30 >> "$LOG" 2>&1
 echo "[$(date +%H:%M:%S)] STAGE2 DONE" >> "$LOG"
