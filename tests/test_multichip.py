@@ -297,3 +297,37 @@ def test_flat_chain_spmd_interpret():
                           'DNNCA_FLATCHAIN': '1'})
     assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-2000:])
     assert 'PALLAS_SPMD_OK' in out.stdout
+
+
+TCONV_POOL_SPMD_SCRIPT = PALLAS_SPMD_SCRIPT.replace(
+    "n_filters_first=2, n_downsample=2",
+    "n_filters_first=128, n_downsample=1").replace(
+    "n_filters_first=2, n_downsample=1",
+    "n_filters_first=128, n_downsample=1")
+
+
+def test_tconv_pool_spmd_interpret():
+    '''The Pallas tconv + pool kernels, shard_mapped over the data mesh
+    (interpret mode), must reproduce single-device training math. At 128
+    filters the decoder tconv (ci=co=128) and the level-1 pool (C=128)
+    are both eligible; gates asserted in-script.'''
+    check = (
+        "import os; os.environ['DNNCA_PTCONV']='1';"
+        "os.environ['DNNCA_PPOOL']='1';"
+        "os.environ['DNNCA_PALLAS_INTERPRET']='1';"
+        "import sys; sys.path.insert(0, %r);"
+        "from dnncancerannotator_tpu.ops.pallas import tconv_kernel, "
+        "pool_kernel;"
+        "assert tconv_kernel.tconv_pallas_ok((8, 8, 8, 128), (2, 2), (2, 2),"
+        " 128, 'NHWC', None);"
+        "assert pool_kernel.pool_pallas_ok((8, 16, 16, 128), 2, 'NHWC',"
+        " None)" % REPO)
+    out = _run(['-c', check], timeout=240,
+               extra_env={'DNNCA_PALLAS_INTERPRET': '1',
+                          'DNNCA_PTCONV': '1', 'DNNCA_PPOOL': '1'})
+    assert out.returncode == 0, (out.stdout[-500:], out.stderr[-1500:])
+    out = _run(['-c', TCONV_POOL_SPMD_SCRIPT], timeout=560,
+               extra_env={'DNNCA_PALLAS_INTERPRET': '1',
+                          'DNNCA_PTCONV': '1', 'DNNCA_PPOOL': '1'})
+    assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-2000:])
+    assert 'PALLAS_SPMD_OK' in out.stdout
