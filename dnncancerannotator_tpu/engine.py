@@ -138,6 +138,13 @@ class Engine:
         flatchain = deploy.pop('flatchain', None)
         if flatchain is not None:
             os.environ['DNNCA_FLATCHAIN'] = '1' if flatchain else '0'
+        # likewise for the fused NHWC tconv / max-pool kernels
+        # (ops/pallas/tconv_kernel.py, ops/pallas/pool_kernel.py)
+        for opt, env in (('pallas_tconv', 'DNNCA_PTCONV'),
+                         ('pallas_pool', 'DNNCA_PPOOL')):
+            val = deploy.pop(opt, None)
+            if val is not None:
+                os.environ[env] = '1' if val else '0'
 
         self.model_name = model_config['model']
         self.model, regularizer = models_lib.build_model(
