@@ -425,13 +425,20 @@ class Engine:
         ))
 
     def _make_resident_train_step(self, dataset, n_sources, balanced, k,
-                                  stack_outputs=False):
+                                  sample_shape, stack_outputs=False):
         '''Fully device-resident train step: the uint8 dataset tensor lives in
         HBM and each of the ``k`` scanned inner steps gathers its batch with
         on-device random indices — zero host work per step. Equal-probability
         sampling across sources reproduces ``normalize_exams``
         (reference data.py:515-525); the shuffle buffer becomes true uniform
-        sampling.'''
+        sampling.
+
+        The pool rides as a flat [N, h*w*C] tensor and is reshaped AFTER the
+        row gather: gathering rows of the 4D pool made XLA relayout the
+        whole pool inside the scan loop (a 4D-tiling it preferred for the
+        gather — 167 us/step on a 27 MB pool, never hoisted); a 2D row
+        gather has no layout freedom, and any residual relayout applies to
+        the 8-row batch instead.'''
         one_step = self._make_train_step(dataset, multi_step='one_step')
         batch = dataset.batch_size
 
@@ -445,7 +452,7 @@ class Engine:
             else:
                 idx = jax.random.randint(
                     skey, [batch], 0, data.shape[0])
-            return data[idx]
+            return data[idx].reshape((batch,) + tuple(sample_shape))
 
         def fn(state, data, starts, counts, key):
             sample_key = jax.random.fold_in(key, 0x5a5a5a5)
@@ -461,7 +468,7 @@ class Engine:
                 return state, losses, probs, y
 
             raw_aval = jax.ShapeDtypeStruct(
-                (batch,) + data.shape[1:], data.dtype)
+                (batch,) + tuple(sample_shape), data.dtype)
             _, _, probs_av, y_av = jax.eval_shape(
                 one_step, state, raw_aval, key)
 
@@ -631,20 +638,23 @@ class Engine:
             resident = None
         if resident is not None:
             if '_dev' not in resident:
+                n_pool = resident['data'].shape[0]
                 resident['_dev'] = (
-                    jax.device_put(resident['data'], self._rep),
+                    jax.device_put(
+                        resident['data'].reshape(n_pool, -1), self._rep),
                     jax.device_put(resident['starts'], self._rep),
                     jax.device_put(resident['counts'], self._rep))
             data_dev, starts_dev, counts_dev = resident['_dev']
             n_sources = len(resident['starts'])
             balanced = resident['balanced']
+            sample_shape = resident['data'].shape[1:]
 
             def resident_step(k):
                 return self._cached_step(
                     ('resident', stack) + step_key + (n_sources, balanced,
-                                                      k),
+                                                      k, sample_shape),
                     lambda: self._make_resident_train_step(
-                        dataset, n_sources, balanced, k,
+                        dataset, n_sources, balanced, k, sample_shape,
                         stack_outputs=stack and k > 1))
 
             batches = None
