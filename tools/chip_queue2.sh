@@ -32,4 +32,6 @@ timeout 1800 python tools/bench_region_eval.py >> "$LOG" 2>&1
 echo "[$(date +%H:%M:%S)] unet_big step A/B (tconv+pool kernels)" >> "$LOG"
 timeout 1200 python tools/profile_step.py --model big --batch 8 --steps 30 >> "$LOG" 2>&1
 DNNCA_PTCONV=1 DNNCA_PPOOL=1 timeout 1200 python tools/profile_step.py --model big --batch 8 --steps 30 >> "$LOG" 2>&1
+echo "[$(date +%H:%M:%S)] small-model trace (resident-pool relayout check)" >> "$LOG"
+timeout 1200 python tools/profile_step.py --model small --batch 8 --steps 10 >> "$LOG" 2>&1
 echo "[$(date +%H:%M:%S)] STAGE2 DONE" >> "$LOG"
