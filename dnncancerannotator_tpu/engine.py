@@ -533,12 +533,18 @@ class Engine:
         )
 
     def _eval_dataset(self, eval_step, dataset, metrics, extra_cb=None):
-        '''Run one pass over an EvalDataset; returns {loss, metric results}.'''
+        '''Run one pass over an EvalDataset; returns {loss, metric results}.
+
+        Host batch decode + device transfer run in a background thread
+        (same _Prefetcher as the train path) so they overlap the device
+        eval and the host-side metric accumulation of the previous batch.
+        '''
         losses = []
-        for batch in dataset.batches():
-            raw = batch['slices']
-            raw_dev, n = mesh_lib.shard_batch(
-                self.mesh, raw, pad_to=dataset.batch_size)
+        prefetched = _Prefetcher(
+            dataset.batches(),
+            lambda batch: (batch, mesh_lib.shard_batch(
+                self.mesh, batch['slices'], pad_to=dataset.batch_size)))
+        for batch, (raw_dev, n) in prefetched:
             loss_vec, probs, y = eval_step(
                 self.state, raw_dev, jnp.int32(n))
             losses.append(np.asarray(loss_vec)[:n])
