@@ -23,6 +23,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import _memo
+
+# per-batch confusion-count memo (see metrics/_memo.py)
+_COUNT_CACHE = []
+
 
 @functools.partial(jax.jit, static_argnames=())
 def _confusion_counts(y_true, y_pred, thresholds):
@@ -59,12 +64,20 @@ class _ConfusionMetric:
     reset = reset_state
 
     def update_state(self, y_true, y_pred, sample_weight=None):
-        tp, fp, tn, fn = _confusion_counts(
-            jnp.asarray(y_true), jnp.asarray(y_pred), self.thresholds)
-        self.tp = self.tp + np.asarray(tp, np.float64)
-        self.fp = self.fp + np.asarray(fp, np.float64)
-        self.tn = self.tn + np.asarray(tn, np.float64)
-        self.fn = self.fn + np.asarray(fn, np.float64)
+        # identical-threshold instances fed the same batch (the PR-curve
+        # suites hold 6 of them) share one confusion pass per batch
+        key = tuple(np.asarray(self.thresholds).ravel().tolist())
+        counts = _memo.lookup(_COUNT_CACHE, key, (y_true, y_pred))
+        if counts is None:
+            counts = _confusion_counts(
+                jnp.asarray(y_true), jnp.asarray(y_pred), self.thresholds)
+            counts = tuple(np.asarray(c, np.float64) for c in counts)
+            _memo.store(_COUNT_CACHE, key, (y_true, y_pred), counts)
+        tp, fp, tn, fn = counts
+        self.tp = self.tp + tp
+        self.fp = self.fp + fp
+        self.tn = self.tn + tn
+        self.fn = self.fn + fn
 
     update = update_state
 

@@ -29,11 +29,12 @@ tensors into fixed-shape masked math that jits, vmaps and shards cleanly.
 
 import functools
 import logging
-import weakref
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from . import _memo
 
 from ..ops.cca import connected_components, connected_components_batch
 from ..ops.morphology import morph_open
@@ -156,8 +157,7 @@ def region_confusion_batch(y_true, y_pred, thresholds, *, iou_threshold=0.30,
     return tuple(x.reshape(n_chunks * chunk, *x.shape[2:])[:b] for x in out)
 
 
-# (weakref(y_true), weakref(y_pred), param_key, counts) entries; bounded,
-# and entries die with their batch arrays — see _RegionBasedMetric._raw.
+# per-batch raw-count memo (see metrics/_memo.py and _RegionBasedMetric._raw)
 _RAW_CACHE = []
 
 
@@ -204,24 +204,11 @@ class _RegionBasedMetric:
         their batch) keyed by the metric parameters.
         '''
         key = self._param_key()
-        alive = []
-        hit = None
-        for ent in _RAW_CACHE:
-            yt, yp = ent[0](), ent[1]()
-            if yt is None or yp is None:
-                continue
-            alive.append(ent)
-            if ent[2] == key and yt is y_true and yp is y_pred:
-                hit = ent[3]
+        hit = _memo.lookup(_RAW_CACHE, key, (y_true, y_pred))
         if hit is not None:
             return hit
         out = self._raw_uncached(y_true, y_pred)
-        try:
-            alive.append((weakref.ref(y_true), weakref.ref(y_pred), key, out))
-        except TypeError:
-            pass  # plain lists/np scalars may not be weakref-able
-        del _RAW_CACHE[:]
-        _RAW_CACHE.extend(alive[-8:])
+        _memo.store(_RAW_CACHE, key, (y_true, y_pred), out)
         return out
 
     def _raw_uncached(self, y_true, y_pred):

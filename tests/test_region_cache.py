@@ -107,3 +107,33 @@ def test_capacity_escalation_persists():
     # perfect prediction at 64 regions: all detected
     assert int(np.squeeze(m.tp_count)) == 64
     assert int(np.squeeze(m.fn_count)) == 0
+
+
+def test_pixel_counts_shared(monkeypatch):
+    from dnncancerannotator_tpu.metrics import pixel
+    del pixel._COUNT_CACHE[:]
+    calls = []
+    orig = pixel._confusion_counts
+
+    def wrapper(*args, **kwargs):
+        calls.append(1)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pixel, '_confusion_counts', wrapper)
+    th = [i / 9.0 for i in range(10)]
+    suite = [pixel.TruePositives(th), pixel.FalsePositives(th),
+             pixel.Recall(th), pixel.Precision(th)]
+    y, p = _batch()
+    for m in suite:
+        m.update_state(y, p)
+    assert sum(calls) == 1
+    # different thresholds -> separate pass
+    pixel.Recall([0.5]).update_state(y, p)
+    assert sum(calls) == 2
+    # results consistent between cached instances
+    r = suite[2].result()
+    assert r.shape == (10,)
+    del pixel._COUNT_CACHE[:]
+    fresh = pixel.Recall(th)
+    fresh.update_state(y, p)
+    np.testing.assert_array_equal(fresh.result(), r)
