@@ -32,6 +32,18 @@ def test_grain_batches_shape_and_dtype(tmp_path):
     assert not np.array_equal(batches[0], batches[1])
 
 
+def test_grain_normalize_exams_warns_about_sampling_fork(tmp_path, caplog):
+    '''The grain loader approximates normalize_exams (per-epoch index
+    equalization, not with-replacement sampling like the native path /
+    reference data.py:515-525); that semantic fork must be disclosed loudly
+    at runtime, not just in a docstring.'''
+    import logging
+    ds = _ds(tmp_path, normalize_exams=True)
+    with caplog.at_level(logging.WARNING):
+        next(ds.raw_batches(seed=0))
+    assert any('normalize_exams' in rec.getMessage() for rec in caplog.records)
+
+
 def test_grain_epoch_boundary_without_repeat(tmp_path):
     ds = _ds(tmp_path, repeat=False, normalize_exams=False)
     n = sum(1 for _ in ds.raw_batches(seed=0))

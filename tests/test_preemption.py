@@ -3,6 +3,7 @@
 import os
 import signal
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -47,18 +48,32 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
         yaml.safe_dump(CONFIG, f)
     save_path = str(tmp_path / 'run')
 
-    # deliver SIGTERM shortly after training starts; 100000 steps would
-    # otherwise run for minutes
-    timer = threading.Timer(
-        8.0, lambda: os.kill(os.getpid(), signal.SIGTERM))
-    timer.start()
-    try:
-        results = train(
-            config=[config_path], save_path=save_path,
-            data_path=[cancer, healthy], max_steps=100000, save_freq=50000,
-            validate=False)
-    finally:
-        timer.cancel()
+    # Deliver SIGTERM only while the engine's preemption handler is
+    # installed (a blind N-second timer raced engine setup: on a contended
+    # run the signal landed before/after the handler and the DEFAULT
+    # disposition killed the whole pytest process with exit 143).
+    initial_handler = signal.getsignal(signal.SIGTERM)
+
+    def kill_when_handler_live(grace=2.0, timeout=600.0):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if signal.getsignal(signal.SIGTERM) is not initial_handler:
+                time.sleep(grace)  # let a few steps run first
+                os.kill(os.getpid(), signal.SIGTERM)
+                return
+
+            time.sleep(0.25)
+
+    killer = threading.Thread(target=kill_when_handler_live, daemon=True)
+    killer.start()
+    results = train(
+        config=[config_path], save_path=save_path,
+        data_path=[cancer, healthy], max_steps=100000, save_freq=50000,
+        validate=False)
+    # the only way train() exits (100000 steps take minutes) is the SIGTERM
+    # checkpoint path; make sure the killer can't linger into the resume
+    killer.join(timeout=30)
+    assert not killer.is_alive()
 
     stopped_at = results.epoch[-1]
     assert 0 < stopped_at < 100000, stopped_at
