@@ -25,8 +25,13 @@ from glob import glob
 import numpy as np
 
 from . import tfrecord as tfr
+from ..utils import hostmem
 
 DEFAULT_SLICE_TYPES = ('TRA', 'ADC', 'DWI', 'DCEE', 'DCEL', 'label')
+
+# large decode/crop buffers churn constantly in the streaming input path;
+# recycle them in-arena instead of re-faulting fresh pages every exam
+hostmem.tune_malloc()
 
 
 def _decode_image_gray(path):
@@ -230,7 +235,10 @@ def _parse_example_exam_native(buf, output_slice_types=None):
         n_chan = len(idx)
     else:
         cidx, n_chan = None, int(shape[3])
-    out = np.empty((shape[0], shape[1], shape[2], n_chan), np.uint8)
+    # hugepage-backed output: page-fault service dominates fresh-buffer
+    # writes on virtualized hosts (utils/hostmem.py)
+    out = hostmem.hugepage_empty(
+        (shape[0], shape[1], shape[2], n_chan), np.uint8)
     rc = lib.exam_decode(
         buf, len(buf), cidx, n_chan if cidx is not None else 0, -1, -1,
         out.ctypes.data_as(ctypes.c_void_p), out.size,

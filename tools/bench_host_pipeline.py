@@ -33,22 +33,29 @@ def main():
     args = ap.parse_args()
 
     import numpy as np
-    from dnncancerannotator_tpu.data import records, pipeline
+    from dnncancerannotator_tpu.data import pipeline
+    from dnncancerannotator_tpu.data import tfrecord as tfr
 
     tmp = tempfile.mkdtemp(prefix='hostbench_')
     rng = np.random.default_rng(0)
     paths = []
     for name in ('cancer', 'healthy'):
         path = f'{tmp}/{name}.tfrecords'
-        exams = []
-        for ei in range(args.exams):
-            exams.append(dict(
-                patientID=ei, examID=ei,
-                slices=rng.integers(
+        with open(path, 'wb') as f:
+            for ei in range(args.exams):
+                slices = rng.integers(
                     0, 255, (args.slices, args.size, args.size, 6),
-                    dtype=np.uint8),
-                path=f'{name}/{ei}', category=name))
-        records.write_records(exams, path)
+                    dtype=np.uint8)
+                example = tfr.encode_example({
+                    'slices': tfr.serialize_tensor(slices),
+                    'patientID': ei, 'examID': ei,
+                    'path': f'{name}/{ei}'.encode(),
+                    'category': name.encode(),
+                    'shape': list(slices.shape),
+                    'slice_types': [t.encode() for t in (
+                        'TRA', 'ADC', 'DWI', 'DCEE', 'DCEL', 'label')],
+                })
+                tfr.write_record(f, example)
         paths.append(path)
 
     ds = pipeline.train_ds(
@@ -58,9 +65,22 @@ def main():
         augment_options={'random_crop': {
             'output_size': [args.crop, args.crop]}},
         decode_pool=args.pool)
+    total_slices = 2 * args.exams * args.slices
     it = ds.raw_batches(seed=0)
-    # warmup: first pass opens files, fills the shuffle buffer
-    for _ in range(8):
+    # cold phase: epoch 1 decodes everything; on this host the cost is
+    # dominated by first-touch page-fault service of the dataset footprint
+    # (measured ~0.1 GB/s sustained — see utils/hostmem.py)
+    t0 = time.perf_counter()
+    n = 0
+    cold_batches = max(total_slices // args.batch - 4, 1)
+    for _ in range(cold_batches):
+        b = next(it)
+        n += b.shape[0]
+    dt = time.perf_counter() - t0
+    print(f'cold epoch-1: {n / dt:.0f} slices/s')
+    # warm phase: exam LRU caches hit; this is the steady-state regime for
+    # datasets under the per-reader cache budget
+    for _ in range(16):
         next(it)
     t0 = time.perf_counter()
     n = 0
@@ -68,7 +88,7 @@ def main():
         b = next(it)
         n += b.shape[0]
     dt = time.perf_counter() - t0
-    print(f'streaming host pipeline: {n / dt:.0f} slices/s '
+    print(f'warm steady-state: {n / dt:.0f} slices/s '
           f'({dt * 1e3 / args.batches:.2f} ms/batch of {args.batch}, '
           f'element {b.shape}, pool={ds.decode_pool})')
 
