@@ -15,6 +15,7 @@ def main(prog='python3 -m dnncancerannotator_tpu', argv=None):
     from ..parallel import multihost
     multihost.maybe_initialize()
     from . import evaluate, predict, train
+    from . import export as export_mod
     from . import extract
     from ..data import generate_tfrecords
 
@@ -23,6 +24,7 @@ def main(prog='python3 -m dnncancerannotator_tpu', argv=None):
     dscli.add_command(subparsers, train.train)
     dscli.add_command(subparsers, evaluate.evaluate)
     dscli.add_command(subparsers, predict.predict)
+    dscli.add_command(subparsers, export_mod.export_model)
     dscli.add_command(subparsers, extract.extract_all)
     dscli.add_command(subparsers, generate_tfrecords)
     return dscli.run(parser, argv)
