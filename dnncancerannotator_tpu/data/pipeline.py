@@ -248,6 +248,13 @@ class TrainDataset:
             counts.append(count)
         if not chunks:
             return None
+        # Drop zero-slice sources (e.g. an empty .tfrecords file): the
+        # balanced on-device sampler draws idx = starts[f] + u*counts[f],
+        # which for counts[f] == 0 clamps to starts[f]-1 — a slice of the
+        # PREVIOUS source. The streaming and grain paths already skip them.
+        keep = [i for i, c in enumerate(counts) if c > 0]
+        starts = [starts[i] for i in keep]
+        counts = [counts[i] for i in keep]
         # hugepage-backed pool: first-touch faults of a multi-GB stack run
         # ~20x faster as THP on this host class (utils/hostmem.py)
         data = hostmem.hugepage_empty(
@@ -363,13 +370,15 @@ class EvalDataset:
     '''Evaluation dataset handle: deterministic, finite, optional metadata.'''
 
     def __init__(self, path, batch_size, slice_types=DEFAULT_SLICE_TYPES,
-                 include_meta=False, output_size=(512, 512)):
+                 include_meta=False, output_size=(512, 512),
+                 decode_pool='auto'):
         self.slice_types = tuple(slice_types)
         self.batch_size = batch_size
         self.include_meta = include_meta
         self.output_size = tuple(output_size) if output_size else None
         self.paths = path
         self.n_channels = len(self.slice_types)
+        self.decode_pool = _resolve_pool(decode_pool)
         self._n_batches = None
 
     @property
@@ -386,9 +395,8 @@ class EvalDataset:
         The final batch may be smaller.'''
         sources = _sources(self.paths, self.slice_types)
         imgs, metas = [], []
-        pool = _resolve_pool('auto')
         for source in sources:
-            for exam in source.iter_exams(pool=pool):
+            for exam in source.iter_exams(pool=self.decode_pool):
                 for img, meta in _exam_elements(exam, self.output_size):
                     imgs.append(img)
                     metas.append(meta)
@@ -437,11 +445,13 @@ def train_ds(path, batch_size, buffer_size, repeat=True,
 
 
 def eval_ds(path, batch_size, slice_types=DEFAULT_SLICE_TYPES,
-            include_meta=False, output_size=(512, 512), **kwargs):
+            include_meta=False, output_size=(512, 512), decode_pool='auto',
+            **kwargs):
     '''Build the evaluation dataset (reference data.py:114-144 signature).'''
     return EvalDataset(
         path, batch_size=batch_size, slice_types=slice_types,
-        include_meta=include_meta, output_size=output_size)
+        include_meta=include_meta, output_size=output_size,
+        decode_pool=decode_pool)
 
 
 def predict_ds(path, slice_types=DEFAULT_SLICE_TYPES, output_size=(512, 512),

@@ -48,6 +48,10 @@ from .utils import tboard
 
 logger = logging.getLogger(__name__)
 
+# env value before any Engine's deploy option overrode the kernel gate
+# (None = was unset); lets a later option-less Engine get the user's value
+_GATE_ENV_BASELINE = {}
+
 
 class _Prefetcher:
     '''Background host->device pipeline: produces already-device_put batches
@@ -62,15 +66,29 @@ class _Prefetcher:
         import threading
         self._q = queue.Queue(maxsize=depth)
         self._err = None
+        self._stop = False
+        self._queue_mod = queue
+
+        def put(item):
+            # bounded put that aborts when the consumer closed early, so
+            # the producer never blocks forever holding host+HBM buffers
+            while not self._stop:
+                try:
+                    self._q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def run():
             try:
                 for item in iterator:
-                    self._q.put(transform(item))
+                    if self._stop or not put(transform(item)):
+                        return
             except BaseException as exc:  # surface in consumer
                 self._err = exc
             finally:
-                self._q.put(self._DONE)
+                put(self._DONE)
 
         self._thread = threading.Thread(target=run, daemon=True)
         self._thread.start()
@@ -85,6 +103,17 @@ class _Prefetcher:
                 raise self._err
             raise StopIteration
         return item
+
+    def close(self):
+        '''Stop the producer and drop queued batches (idempotent); for
+        consumers that exit before exhausting the stream.'''
+        self._stop = True
+        try:
+            while True:
+                self._q.get_nowait()
+        except self._queue_mod.Empty:
+            pass
+        self._thread.join(timeout=5)
 
 
 class TrainResults:
@@ -132,19 +161,24 @@ class Engine:
         self.debug_asserts = bool(deploy.pop('debug_asserts', False))
         self.max_checkpoints_to_keep = deploy.pop(
             'max_checkpoints_to_keep', None)
-        # opt-in MXU "flatland" chain kernels for the mid-channel ConvChains
-        # (ops/pallas/flatchain.py). The gate is read from the environment at
-        # model trace time, so the config option just sets it process-wide.
-        flatchain = deploy.pop('flatchain', None)
-        if flatchain is not None:
-            os.environ['DNNCA_FLATCHAIN'] = '1' if flatchain else '0'
-        # likewise for the fused NHWC tconv / max-pool kernels
-        # (ops/pallas/tconv_kernel.py, ops/pallas/pool_kernel.py)
-        for opt, env in (('pallas_tconv', 'DNNCA_PTCONV'),
+        # opt-in Pallas kernel gates (flatchain / fused tconv / fused pool).
+        # The gates are read from the environment at model trace time, so a
+        # config option sets them process-wide — but an Engine whose config
+        # OMITS an option must not inherit a previous Engine's setting:
+        # restore the pre-Engine environment value in that case.
+        for opt, env in (('flatchain', 'DNNCA_FLATCHAIN'),
+                         ('pallas_tconv', 'DNNCA_PTCONV'),
                          ('pallas_pool', 'DNNCA_PPOOL')):
             val = deploy.pop(opt, None)
             if val is not None:
+                _GATE_ENV_BASELINE.setdefault(env, os.environ.get(env))
                 os.environ[env] = '1' if val else '0'
+            elif env in _GATE_ENV_BASELINE:
+                base = _GATE_ENV_BASELINE.pop(env)
+                if base is None:
+                    os.environ.pop(env, None)
+                else:
+                    os.environ[env] = base
 
         self.model_name = model_config['model']
         self.model, regularizer = models_lib.build_model(
@@ -242,12 +276,64 @@ class Engine:
         if getattr(self, '_async_ckptr', None) is not None:
             self._async_ckptr.wait_until_finished()
 
+    def _opt_flat_spec(self):
+        '''Machinery mapping the runtime (optax.flatten) opt_state to the
+        param-tree checkpoint form: (unravel fn, is_flat_leaf predicate).'''
+        from jax.flatten_util import ravel_pytree
+        flat, unravel = ravel_pytree(self.state['params'])
+        n = int(flat.size)
+
+        def is_flat(leaf):
+            shape = tuple(getattr(leaf, 'shape', ()))
+            return shape == (n,)
+
+        return unravel, is_flat
+
+    def _ckpt_view(self):
+        '''State with opt_state in param-tree form — the on-disk format.
+
+        The runtime opt_state is optax.flatten-ed (one concatenated vector
+        per moment, a dispatch optimization); checkpoints keep the
+        param-tree layout so the format is independent of that choice and
+        pre-flatten checkpoints stay loadable.'''
+        unravel, is_flat = self._opt_flat_spec()
+        opt_tree = jax.tree.map(
+            lambda l: unravel(l) if is_flat(l) else l, self.state['opt_state'])
+        return {**self.state, 'opt_state': opt_tree}
+
+    @staticmethod
+    def _tree_get(tree, path):
+        '''Walk a jax key path (from tree_flatten_with_path) into a tree.'''
+        for k in path:
+            if isinstance(k, jax.tree_util.SequenceKey):
+                tree = tree[k.idx]
+            elif isinstance(k, jax.tree_util.DictKey):
+                tree = tree[k.key]
+            elif isinstance(k, jax.tree_util.GetAttrKey):
+                tree = getattr(tree, k.name)
+            else:
+                raise TypeError(f'unsupported key path entry: {k!r}')
+        return tree
+
+    def _reflatten_opt_state(self, opt_tree):
+        '''Invert _ckpt_view: param-tree opt_state → runtime (flat) form.'''
+        from jax.flatten_util import ravel_pytree
+        _, is_flat = self._opt_flat_spec()
+        with_path, treedef = jax.tree_util.tree_flatten_with_path(
+            self.state['opt_state'])
+        leaves = []
+        for path, leaf in with_path:
+            piece = self._tree_get(opt_tree, path)
+            leaves.append(ravel_pytree(piece)[0] if is_flat(leaf) else piece)
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
     def save_ckpt(self, base_path, step):
         import orbax.checkpoint as ocp
         ckptr = self._checkpointer()
         ckptr.wait_until_finished()  # at most one save in flight
         path = os.path.abspath(os.path.join(base_path, f'ckpt-{step}'))
-        ckptr.save(path, args=ocp.args.StandardSave(self.state), force=True)
+        ckptr.save(path, args=ocp.args.StandardSave(self._ckpt_view()),
+                   force=True)
         self._prune_ckpts(base_path)
 
     def _prune_ckpts(self, base_path):
@@ -263,13 +349,28 @@ class Engine:
             logger.info('Pruned checkpoint %s', ckpts[step])
 
     def load(self, path):
-        '''Load a checkpoint directory into the current state.'''
+        '''Load a checkpoint directory into the current state.
+
+        Checkpoints hold opt_state in param-tree form (see _ckpt_view);
+        a fallback accepts the runtime flat layout written by a brief
+        interim window of this codebase.'''
         import orbax.checkpoint as ocp
         assert self.state is not None, 'call build() before load()'
         self.finalize_checkpoints()
-        template = jax.tree.map(ocp.utils.to_shape_dtype_struct, self.state)
+        view = self._ckpt_view()
+        template = jax.tree.map(ocp.utils.to_shape_dtype_struct, view)
         with ocp.StandardCheckpointer() as ckptr:
-            restored = ckptr.restore(os.path.abspath(path), template)
+            try:
+                restored = ckptr.restore(os.path.abspath(path), template)
+                restored['opt_state'] = self._reflatten_opt_state(
+                    restored['opt_state'])
+            except Exception:  # flat-layout checkpoint (interim format)
+                template = jax.tree.map(
+                    ocp.utils.to_shape_dtype_struct, self.state)
+                restored = ckptr.restore(os.path.abspath(path), template)
+                logger.warning(
+                    'Loaded flat-layout (interim-format) opt_state from %s',
+                    path)
         self.state = jax.device_put(restored, self._rep)
         self.current_step = int(self.state['step'])
         return self
@@ -295,7 +396,7 @@ class Engine:
         assert self.state is not None, 'nothing to save; call build() first'
         self.finalize_checkpoints()
         with ocp.StandardCheckpointer() as ckptr:
-            ckptr.save(os.path.abspath(path), self.state, force=True)
+            ckptr.save(os.path.abspath(path), self._ckpt_view(), force=True)
         return self
 
     # -- compiled steps ----------------------------------------------------
@@ -544,15 +645,20 @@ class Engine:
             dataset.batches(),
             lambda batch: (batch, mesh_lib.shard_batch(
                 self.mesh, batch['slices'], pad_to=dataset.batch_size)))
-        for batch, (raw_dev, n) in prefetched:
-            loss_vec, probs, y = eval_step(
-                self.state, raw_dev, jnp.int32(n))
-            losses.append(np.asarray(loss_vec)[:n])
-            y_host, p_host = y[:n], probs[:n]
-            for metric in metrics:
-                metric.update_state(y_host, p_host)
-            if extra_cb is not None:
-                extra_cb(batch, y_host, p_host)
+        try:
+            for batch, (raw_dev, n) in prefetched:
+                loss_vec, probs, y = eval_step(
+                    self.state, raw_dev, jnp.int32(n))
+                losses.append(np.asarray(loss_vec)[:n])
+                y_host, p_host = y[:n], probs[:n]
+                for metric in metrics:
+                    metric.update_state(y_host, p_host)
+                if extra_cb is not None:
+                    extra_cb(batch, y_host, p_host)
+        finally:
+            # a metric/eval_step failure must not leave the producer thread
+            # blocked on a full queue pinning host+HBM batch buffers
+            prefetched.close()
         results = {'loss': float(np.concatenate(losses).mean())
                    if losses else float('nan')}
         for metric in metrics:
@@ -832,6 +938,8 @@ class Engine:
         finally:
             if old_handler is not None:
                 signal_mod.signal(signal_mod.SIGTERM, old_handler)
+            if batches is not None:
+                batches.close()
             self.current_step = step
             if progress is not None:
                 progress.close()

@@ -28,13 +28,9 @@ from ..parallel import mesh as mesh_lib
 _SMALL_CHANNEL_LIMIT = 32
 
 
-def _conv_spmd_mesh(b):
-    '''Mesh to shard_map a Pallas kernel over (batch split on ``data``),
-    or None when no SPMD context is active / the batch does not divide.'''
-    mesh = mesh_lib.current_spmd_mesh()
-    if mesh is not None and b % mesh.shape['data'] == 0:
-        return mesh
-    return None
+# shared batch-sharding eligibility check (also used by the tconv/pool/
+# flatchain kernels via this name)
+_conv_spmd_mesh = mesh_lib.spmd_batch_mesh
 
 
 def _shard_map_batch(fn, mesh, n_batch_in, n_out, reduced_out=()):

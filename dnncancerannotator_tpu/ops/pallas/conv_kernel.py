@@ -257,30 +257,21 @@ def stencil_conv2d_bwd_pallas(x, g, w, pads=((1, 1), (1, 1)), nchw=False,
 _UNROLL_TERMS = 1024
 
 
-def _tap_loop(nin, kh, kw, h, w, sh_ref, load, emit, unroll):
+def _tap_loop(nin, kh, kw, h, w, sh_ref, load, emit):
     '''Shared stencil tap loop: for each input plane ``i`` and lane offset
     ``dx``, stage ``load(i, dx)`` into the aligned shift scratch, then for
     each sublane offset ``dy`` hand the aligned window to ``emit``.
 
-    ``unroll``: python-unroll the plane loop (small channel products) or run
-    it as a lax.fori_loop (keeps Mosaic program size bounded for the 12-24
-    channel levels that previously fell back to the XLA stencil path and its
-    ~15 layout copies per step).
+    Always python-unrolled: chain_supported caps the term count at
+    _UNROLL_TERMS, and a lax.fori_loop variant for the 12-24 channel levels
+    measured 3-4x slower than the XLA stencil path (dynamic VMEM plane
+    indexing relayouts every iteration) — negative result, round 3.
     '''
-    def body(i):
+    for i in range(nin):
         for dx in range(kw):
             sh_ref[:] = load(i, dx)
             for dy in range(kh):
                 emit(i, dy, dx, sh_ref[dy:dy + h])
-
-    if unroll:
-        for i in range(nin):
-            body(i)
-    else:
-        def fori_body(i, carry):
-            body(i)
-            return carry
-        jax.lax.fori_loop(0, nin, fori_body, 0)
 
 
 def _chain_kernel(w_ref, x_ref, c1_ref, c2_ref, sh_ref, c1p_ref, *,
@@ -302,8 +293,7 @@ def _chain_kernel(w_ref, x_ref, c1_ref, c2_ref, sh_ref, c1p_ref, *,
             c1_ref[0, o] = c1_ref[0, o] + window * wv
 
     _tap_loop(ci, kh, kw, h, w, sh_ref,
-              lambda i, dx: x_ref[0, i, :, dx:dx + w], emit1,
-              unroll=n1 <= _UNROLL_TERMS)
+              lambda i, dx: x_ref[0, i, :, dx:dx + w], emit1)
     # relu + one padded copy per channel for conv2's stencil reads
     for o in range(cm):
         act = jnp.maximum(c1_ref[0, o], 0.0)
@@ -321,8 +311,7 @@ def _chain_kernel(w_ref, x_ref, c1_ref, c2_ref, sh_ref, c1p_ref, *,
             c2_ref[0, o] = c2_ref[0, o] + window * wv
 
     _tap_loop(cm, kh, kw, h, w, sh_ref,
-              lambda i, dx: c1p_ref[i, :, dx:dx + w], emit2,
-              unroll=n2 <= _UNROLL_TERMS)
+              lambda i, dx: c1p_ref[i, :, dx:dx + w], emit2)
     for o in range(co):
         c2_ref[0, o] = jnp.maximum(c2_ref[0, o], 0.0)
 
@@ -436,8 +425,7 @@ def _chain_bwd_kernel(w_ref, xp_ref, c1_ref, c2_ref, g_ref, dx_ref, dw_ref,
             acc(n1 + cm + ((dy * kw + dxx) * cm + i) * co + o, s)
 
     _tap_loop(cm, kh, kw, h, w, sh_ref,
-              lambda i, dxx: c1p_ref[i, :, dxx:dxx + w], emit_dw2,
-              unroll=n2 <= _UNROLL_TERMS)
+              lambda i, dxx: c1p_ref[i, :, dxx:dxx + w], emit_dw2)
     for o in range(co):
         acc(n1 + cm + n2 + o, jnp.sum(aux_ref[o]))
 
@@ -454,8 +442,7 @@ def _chain_bwd_kernel(w_ref, xp_ref, c1_ref, c2_ref, g_ref, dx_ref, dw_ref,
             aux_ref[i] = aux_ref[i] + window * wv
 
     _tap_loop(co, kh, kw, h, w, sh_ref,
-              lambda o, ex: g2p_ref[o, :, ex:ex + w], emit_dc1,
-              unroll=n2 <= _UNROLL_TERMS)
+              lambda o, ex: g2p_ref[o, :, ex:ex + w], emit_dc1)
     for i in range(cm):
         masked = jnp.where(c1_ref[0, i] > 0, aux_ref[i], 0.0)
         aux_ref[i] = masked
@@ -469,8 +456,7 @@ def _chain_bwd_kernel(w_ref, xp_ref, c1_ref, c2_ref, g_ref, dx_ref, dw_ref,
             acc(((dy * kw + dxx) * ci + i) * cm + o, s)
 
     _tap_loop(ci, kh, kw, h, w, sh_ref,
-              lambda i, dxx: xp_ref[0, i, :, dxx:dxx + w], emit_dw1,
-              unroll=n1 <= _UNROLL_TERMS)
+              lambda i, dxx: xp_ref[0, i, :, dxx:dxx + w], emit_dw1)
     for o in range(cm):
         acc(n1 + o, jnp.sum(aux_ref[o]))
 
@@ -485,8 +471,7 @@ def _chain_bwd_kernel(w_ref, xp_ref, c1_ref, c2_ref, g_ref, dx_ref, dw_ref,
             dx_ref[0, i] = dx_ref[0, i] + window * wv
 
     _tap_loop(cm, kh, kw, h, w, sh_ref,
-              lambda o, ex: dc1p_ref[o, :, ex:ex + w], emit_dx,
-              unroll=n1 <= _UNROLL_TERMS)
+              lambda o, ex: dc1p_ref[o, :, ex:ex + w], emit_dx)
 
 
 @functools.partial(jax.jit, static_argnames=('pads', 'interpret'))

@@ -259,7 +259,7 @@ def sparse_image_warp(image, source_control_points, dest_control_points,
                 dense_image_warp_twopass_pallas,
                 max_displacement=max_displacement,
                 interpret=mesh_lib.pallas_interpret())
-            mesh = _warp_spmd_mesh(image.shape[0])
+            mesh = mesh_lib.spmd_batch_mesh(image.shape[0])
             if mesh is not None and jax.device_count() != 1:
                 from jax.sharding import PartitionSpec as P
                 fn = jax.shard_map(
@@ -270,13 +270,6 @@ def sparse_image_warp(image, source_control_points, dest_control_points,
     return dense_image_warp(image, flow)
 
 
-def _warp_spmd_mesh(b):
-    mesh = mesh_lib.current_spmd_mesh()
-    if mesh is not None and b % mesh.shape['data'] == 0:
-        return mesh
-    return None
-
-
 def _pallas_resample_ok(shape, max_displacement):
     '''Use the fused Pallas resample on a single TPU device or shard_mapped
     over the engine-announced SPMD mesh; fall back to the XLA select path
@@ -284,7 +277,8 @@ def _pallas_resample_ok(shape, max_displacement):
     try:
         if jax.default_backend() == 'cpu' and not mesh_lib.pallas_interpret():
             return False
-        if jax.device_count() != 1 and _warp_spmd_mesh(shape[0]) is None:
+        if (jax.device_count() != 1
+                and mesh_lib.spmd_batch_mesh(shape[0]) is None):
             return False
         from .pallas.warp_kernel import supported
         return supported(shape, max_displacement)

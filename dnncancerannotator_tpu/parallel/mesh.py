@@ -59,6 +59,15 @@ def current_spmd_mesh() -> Optional[Mesh]:
     return mesh
 
 
+def spmd_batch_mesh(b):
+    '''Mesh to shard_map a Pallas kernel over (batch split on ``data``),
+    or None when no SPMD context is active / the batch does not divide.'''
+    mesh = current_spmd_mesh()
+    if mesh is not None and b % mesh.shape['data'] == 0:
+        return mesh
+    return None
+
+
 @contextlib.contextmanager
 def pallas_single_device():
     '''Caller guarantee that the enclosed jitted computation runs on ONE

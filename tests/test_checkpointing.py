@@ -56,3 +56,41 @@ def test_async_save_prune_resume(tmp_path):
 
     # loading a pruned step's checkpoint raises cleanly
     assert eng2.get_ckpts(ckpt_dir).keys() == {8, 10}
+
+
+def test_ckpt_opt_state_is_param_tree_and_interim_flat_loads(tmp_path):
+    '''The on-disk opt_state keeps the param-tree layout (independent of
+    the runtime optax.flatten optimization), and checkpoints written by
+    the interim window that saved the flat runtime layout still load.'''
+    import jax
+    import orbax.checkpoint as ocp
+    from dnncancerannotator_tpu import engine as engine_lib
+
+    cfg = yaml.safe_load(yaml.safe_dump(CONFIG))
+    eng = engine_lib.Engine(cfg, seed=7)
+    eng.build((1, 32, 32, 5))
+
+    # runtime layout: flattened (few 1-D moment vectors), disk layout: tree
+    n_param_leaves = len(jax.tree.leaves(eng.state['params']))
+    assert len(jax.tree.leaves(eng.state['opt_state'])) < n_param_leaves
+    view = eng._ckpt_view()
+    assert len(jax.tree.leaves(view['opt_state'])) >= 2 * n_param_leaves
+
+    # tree-form roundtrip
+    path = str(tmp_path / 'tree-ckpt')
+    eng.save(path)
+    eng2 = engine_lib.Engine(cfg, seed=11)
+    eng2.build((1, 32, 32, 5))
+    eng2.load(path)
+    for a, b in zip(jax.tree.leaves(eng.state), jax.tree.leaves(eng2.state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # interim flat-layout checkpoint still restores via the fallback
+    flat_path = str(tmp_path / 'flat-ckpt')
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(flat_path), eng.state, force=True)
+    eng3 = engine_lib.Engine(cfg, seed=13)
+    eng3.build((1, 32, 32, 5))
+    eng3.load(flat_path)
+    for a, b in zip(jax.tree.leaves(eng.state), jax.tree.leaves(eng3.state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -257,3 +257,17 @@ def test_decode_pool_matches_serial(tmpdir):
     again = list(reader.iter_exams(pool=4))
     for a, b in zip(serial, again):
         np.testing.assert_array_equal(a['slices'], b['slices'])
+
+
+def test_eval_ds_honors_decode_pool(dataset):
+    '''decode_pool plumbs through eval_ds/EvalDataset (it used to be
+    hardcoded to 'auto', so decode_pool=0 configs still spun up threads
+    for every eval pass).'''
+    _, cancer, _ = dataset
+    ds = eval_ds([cancer], batch_size=4, decode_pool=0)
+    assert ds.decode_pool == 0
+    ds_auto = eval_ds([cancer], batch_size=4)
+    assert ds_auto.decode_pool >= 1
+    # the serial path still yields batches
+    batch = next(iter(ds.batches()))
+    assert batch['slices'].shape[0] == 4

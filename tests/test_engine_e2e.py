@@ -191,3 +191,47 @@ def test_train_resume_evaluate_predict(env):
         arr16 / 65535.0, np.load(npys[0]), atol=1.0 / 65535)
 
 
+
+
+def test_kernel_gate_env_scoped_per_engine():
+    '''An Engine whose config omits a Pallas kernel gate must not inherit a
+    previous Engine's process-wide setting (gates ride os.environ because
+    the kernels read them at trace time).'''
+    from dnncancerannotator_tpu import engine as engine_lib
+
+    env_key = 'DNNCA_FLATCHAIN'
+    saved = os.environ.pop(env_key, None)
+    try:
+        cfg_on = yaml.safe_load(yaml.safe_dump(TINY_CONFIG))
+        cfg_on['deploy_options']['flatchain'] = True
+        cfg_on['deploy_options']['enable_multigpu'] = False
+        engine_lib.Engine(cfg_on, seed=0)
+        assert os.environ.get(env_key) == '1'
+
+        cfg_off = yaml.safe_load(yaml.safe_dump(TINY_CONFIG))
+        cfg_off['deploy_options']['enable_multigpu'] = False
+        engine_lib.Engine(cfg_off, seed=0)
+        assert env_key not in os.environ
+    finally:
+        if saved is None:
+            os.environ.pop(env_key, None)
+        else:
+            os.environ[env_key] = saved
+
+
+def test_prefetcher_close_releases_producer():
+    '''Closing a _Prefetcher mid-stream unblocks and terminates the
+    producer thread (an eval failure must not leak batches).'''
+    import itertools
+    import time
+    from dnncancerannotator_tpu.engine import _Prefetcher
+
+    pf = _Prefetcher(itertools.count(), lambda x: x, depth=2)
+    assert next(pf) == 0
+    pf.close()
+    deadline = time.time() + 5
+    while pf._thread.is_alive() and time.time() < deadline:
+        time.sleep(0.01)
+    assert not pf._thread.is_alive()
+    # idempotent
+    pf.close()

@@ -66,3 +66,19 @@ def test_resident_training_runs(tmp_path):
     losses = results.history['loss']
     assert len(losses) == 8
     assert all(np.isfinite(v) for v in losses)
+
+
+def test_load_resident_skips_empty_source(tmp_path):
+    '''A zero-slice source (e.g. an empty .tfrecords) must not appear in
+    starts/counts: the balanced sampler's idx = starts[f] + u*counts[f]
+    would clamp counts[f]=0 to a slice of the PREVIOUS source.'''
+    cancer, healthy = util_synth.make_tfrecords(str(tmp_path), size=64)
+    empty = str(tmp_path / 'empty.tfrecords')
+    open(empty, 'wb').close()
+    from dnncancerannotator_tpu import data as data_lib
+    ds = data_lib.train_ds([cancer, empty, healthy],
+                           **CONFIG['data_options']['train'])
+    res = ds.load_resident()
+    assert res is not None
+    np.testing.assert_array_equal(res['starts'], [0, 6])
+    np.testing.assert_array_equal(res['counts'], [6, 6])
