@@ -173,6 +173,20 @@ def get_baseline():
 
 
 def main():
+    # The axon relay can stop granting chips for an hour or more, during
+    # which jax device init blocks indefinitely; fail loudly instead of
+    # hanging the driver's bench run (25 min >> the normal ~3 min bench).
+    import threading
+
+    def _abort():
+        sys.stderr.write('bench watchdog: no result after 1500s '
+                         '(TPU relay unreachable or hung)\n')
+        sys.stderr.flush()
+        os._exit(3)
+
+    watchdog = threading.Timer(1500, _abort)
+    watchdog.daemon = True
+    watchdog.start()
     throughput, last_loss = measure_tpu()
     baseline = get_baseline()
     print(json.dumps({
