@@ -17,6 +17,7 @@ def main(prog='python3 -m dnncancerannotator_tpu', argv=None):
     from . import evaluate, predict, train
     from . import export as export_mod
     from . import extract
+    from . import serve as serve_mod
     from ..data import generate_tfrecords
 
     parser = argparse.ArgumentParser(prog=prog)
@@ -25,6 +26,7 @@ def main(prog='python3 -m dnncancerannotator_tpu', argv=None):
     dscli.add_command(subparsers, evaluate.evaluate)
     dscli.add_command(subparsers, predict.predict)
     dscli.add_command(subparsers, export_mod.export_model)
+    dscli.add_command(subparsers, serve_mod.serve)
     dscli.add_command(subparsers, extract.extract_all)
     dscli.add_command(subparsers, generate_tfrecords)
     return dscli.run(parser, argv)

@@ -102,3 +102,97 @@ def test_export_fixed_batch_rejects_other_sizes(trained_run, tmp_path):
     assert np.asarray(fn(x)).shape == (2, 32, 32, 1)
     with pytest.raises(ValueError):
         fn(np.repeat(x, 2, axis=0))
+
+
+def test_serve_http_endpoint(trained_run, tmp_path):
+    '''The serve driver answers /predict with the artifact's output,
+    /healthz + /spec with metadata, and clean 400s on bad input.'''
+    import io
+    import json
+    import threading
+    import urllib.request
+    import urllib.error
+    from dnncancerannotator_tpu.runs.export import export_model, load_exported
+    from dnncancerannotator_tpu.runs.serve import make_server
+
+    out = str(tmp_path / 'srv' / 'model')
+    shlo = export_model(save_path=trained_run, output_path=out)
+    server = make_server(shlo, port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = 'http://127.0.0.1:%d' % server.server_address[1]
+    try:
+        assert urllib.request.urlopen(f'{base}/healthz').read() == b'ok'
+        spec = json.loads(urllib.request.urlopen(f'{base}/spec').read())
+        assert spec['input']['shape'] == [-1, 32, 32, 5]
+
+        x = np.random.default_rng(2).integers(
+            0, 255, (3, 32, 32, 5), np.uint8)
+        buf = io.BytesIO()
+        np.save(buf, x)
+        resp = urllib.request.urlopen(f'{base}/predict', buf.getvalue())
+        probs = np.load(io.BytesIO(resp.read()))
+        assert probs.shape == (3, 32, 32, 1)
+        np.testing.assert_allclose(
+            probs, np.asarray(load_exported(shlo)(x)), atol=1e-6)
+
+        # wrong dtype -> 400 with a JSON error body
+        buf = io.BytesIO()
+        np.save(buf, x.astype(np.float32))
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(f'{base}/predict', buf.getvalue())
+        assert err.value.code == 400
+        assert 'uint8' in json.loads(err.value.read())['error']
+
+        # wrong spatial shape -> 400
+        buf = io.BytesIO()
+        np.save(buf, x[:, :16])
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(f'{base}/predict', buf.getvalue())
+        assert err.value.code == 400
+
+        # garbage body -> 400
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(f'{base}/predict', b'not an npy')
+        assert err.value.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()
+        thread.join(timeout=5)
+
+
+def test_serve_fixed_batch_pads(trained_run, tmp_path):
+    '''A fixed-batch artifact transparently serves smaller batches
+    (request padded, response sliced).'''
+    import io
+    import threading
+    import urllib.request
+    import urllib.error
+    from dnncancerannotator_tpu.runs.export import export_model
+    from dnncancerannotator_tpu.runs.serve import make_server
+
+    out = str(tmp_path / 'srvfix' / 'model')
+    shlo = export_model(save_path=trained_run, output_path=out, batch_size=4)
+    server = make_server(shlo, port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = 'http://127.0.0.1:%d' % server.server_address[1]
+    try:
+        x = np.random.default_rng(3).integers(
+            0, 255, (2, 32, 32, 5), np.uint8)
+        buf = io.BytesIO()
+        np.save(buf, x)
+        resp = urllib.request.urlopen(f'{base}/predict', buf.getvalue())
+        probs = np.load(io.BytesIO(resp.read()))
+        assert probs.shape == (2, 32, 32, 1)
+
+        # over the fixed batch -> 400
+        buf = io.BytesIO()
+        np.save(buf, np.repeat(x, 3, axis=0))
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(f'{base}/predict', buf.getvalue())
+        assert err.value.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()
+        thread.join(timeout=5)
