@@ -42,24 +42,28 @@ def main():
     y_d, p_d = jnp.asarray(y), jnp.asarray(np.clip(p, 0, 1))
 
     thresholds = np.linspace(0.005, 0.995, 100).tolist()
-    cm = region.RegionBasedConfusionMatrix(
-        thresholds=thresholds, IoU_threshold=0.30, resize_factor=1.0)
+    # resize 0.5 is the round-1 operating point (RESULTS.md "Pallas CCA
+    # kernel": 1.9 s/batch) — measure that first for comparability, then
+    # the full-resolution variant.
+    for rf, base in ((0.5, ' (round-1 baseline 1.9 s)'), (1.0, '')):
+        cm = region.RegionBasedConfusionMatrix(
+            thresholds=thresholds, IoU_threshold=0.30, resize_factor=rf)
 
-    t0 = time.perf_counter()
-    cm.update_state(y_d, p_d)
-    cold = time.perf_counter() - t0
-    print(f'PR-curve cold (compile+escalate): {cold:.1f} s '
-          f'(caps now {cm.max_label_regions}/{cm.max_pred_regions})',
-          flush=True)
-
-    times = []
-    for i in range(3):
-        del region._RAW_CACHE[:]
         t0 = time.perf_counter()
         cm.update_state(y_d, p_d)
-        times.append(time.perf_counter() - t0)
-    print(f'PR-curve steady per-batch: {min(times):.3f} s '
-          f'(round-1 baseline 1.9 s)', flush=True)
+        cold = time.perf_counter() - t0
+        print(f'[resize {rf}] PR-curve cold (compile+escalate): {cold:.1f} s '
+              f'(caps now {cm.max_label_regions}/{cm.max_pred_regions})',
+              flush=True)
+
+        times = []
+        for i in range(3):
+            del region._RAW_CACHE[:]
+            t0 = time.perf_counter()
+            cm.update_state(y_d, p_d)
+            times.append(time.perf_counter() - t0)
+        print(f'[resize {rf}] PR-curve steady per-batch: '
+              f'{min(times):.3f} s{base}', flush=True)
 
     # metrics.yaml suite: 9 region instances at one threshold
     kw = dict(thresholds=[0.8], IoU_threshold=0.3, resize_factor=0.5)

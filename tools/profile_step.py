@@ -87,12 +87,15 @@ def main():
     # device-resident data tensor: N slices of (size+12)^2 x 6 channels
     rng = np.random.default_rng(0)
     data = rng.integers(0, 255, (64, size + 12, size + 12, 6), np.uint8)
-    data_dev = jax.device_put(jnp.asarray(data), eng._rep)
+    sample_shape = data.shape[1:]
+    # the resident pool rides flat [N, h*w*C] (see _make_resident_train_step)
+    data_dev = jax.device_put(jnp.asarray(data.reshape(64, -1)), eng._rep)
     starts = jax.device_put(jnp.zeros((1,), jnp.int32), eng._rep)
     counts = jax.device_put(jnp.full((1,), 64, jnp.int32), eng._rep)
     key = jax.random.PRNGKey(0)
 
-    step = eng._make_resident_train_step(_DS(batch), 1, False, args.steps)
+    step = eng._make_resident_train_step(_DS(batch), 1, False, args.steps,
+                                         sample_shape)
     if args.dump_hlo:
         txt = step.lower(eng.state, data_dev, starts, counts,
                          key).compile().as_text()
