@@ -553,7 +553,11 @@ class Engine:
             else:
                 idx = jax.random.randint(
                     skey, [batch], 0, data.shape[0])
-            return data[idx].reshape((batch,) + tuple(sample_shape))
+            h, w, c = sample_shape
+            # rows are channel-major ([C, h, w] per sample, see the
+            # device_put in train()): reshape lands NCHW with dense
+            # W-in-lanes tiles; the NHWC transpose is a layout bitcast.
+            return data[idx].reshape((batch, c, h, w)).transpose(0, 2, 3, 1)
 
         def fn(state, data, starts, counts, key):
             sample_key = jax.random.fold_in(key, 0x5a5a5a5)
@@ -751,9 +755,19 @@ class Engine:
         if resident is not None:
             if '_dev' not in resident:
                 n_pool = resident['data'].shape[0]
+                # Upload each sample in channel-major ([C, h, w]) element
+                # order: the in-step gather then reshapes to NCHW with W in
+                # the lane dimension (dense tiles) and the NHWC transpose
+                # the augment chain wants is a pure layout bitcast. The
+                # straight [h, w, C] order forced XLA to retile the batch
+                # into a C-in-lanes layout (6 of 128 lanes used) and then
+                # relayout again — ~1.05 ms/step of the 4.1 ms small-model
+                # step (profile 2026-08-18: reshape.1848 + copy.1004).
+                pool = np.ascontiguousarray(
+                    resident['data'].transpose(0, 3, 1, 2)).reshape(
+                        n_pool, -1)
                 resident['_dev'] = (
-                    jax.device_put(
-                        resident['data'].reshape(n_pool, -1), self._rep),
+                    jax.device_put(pool, self._rep),
                     jax.device_put(resident['starts'], self._rep),
                     jax.device_put(resident['counts'], self._rep))
             data_dev, starts_dev, counts_dev = resident['_dev']

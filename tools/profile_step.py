@@ -88,8 +88,11 @@ def main():
     rng = np.random.default_rng(0)
     data = rng.integers(0, 255, (64, size + 12, size + 12, 6), np.uint8)
     sample_shape = data.shape[1:]
-    # the resident pool rides flat [N, h*w*C] (see _make_resident_train_step)
-    data_dev = jax.device_put(jnp.asarray(data.reshape(64, -1)), eng._rep)
+    # the resident pool rides flat channel-major [N, C*h*w]
+    # (see _make_resident_train_step / engine.train device_put)
+    data_dev = jax.device_put(
+        jnp.asarray(np.ascontiguousarray(
+            data.transpose(0, 3, 1, 2)).reshape(64, -1)), eng._rep)
     starts = jax.device_put(jnp.zeros((1,), jnp.int32), eng._rep)
     counts = jax.device_put(jnp.full((1,), 64, jnp.int32), eng._rep)
     key = jax.random.PRNGKey(0)
