@@ -124,11 +124,26 @@ class ConvChain(nn.Module):
         act = None if fuse_relu else solve_activation(self.activation)
         assert not (self.bn and self.data_format != 'NHWC'), \
             'BatchNorm models run NHWC (flax BN normalizes the last axis)'
+        # MXU flatland eligibility, decided up front: decoder-style chains
+        # (ci > filters, e.g. the 12->6->6 @128^2 concat chains) measured
+        # 2.04x faster through the flat kernel than the scalar stencil on
+        # chip (tools/bench_flatchain 2026-08-18), while encoder chains
+        # (ci <= filters) favor the stencil (0.92x) — so when both kernels
+        # are eligible the channel direction picks the winner.
+        flat_ok = (fuse_relu and not self.bn and self.n_conv == 2
+                   and self.conv_stride == 1 and self.data_format == 'NCHW'
+                   and not isinstance(x, (tuple, list))
+                   and isinstance(self.padding, str)
+                   and fastconv.flat_chain_ok(
+                       x.shape, self.kernel_size, self.filters,
+                       _canon_padding(self.padding), self.dtype))
+        prefer_flat = flat_ok and x.shape[1] > self.filters
         # whole-cell fusion: both convs + relus in one Pallas kernel per
         # direction (NCHW, SAME, no BN) — param tree identical to the
         # unfused path below
         if (fuse_relu and not self.bn and self.n_conv == 2
                 and self.conv_stride == 1 and self.data_format == 'NCHW'
+                and not prefer_flat
                 and isinstance(self.padding, str)
                 and fastconv.chain_pallas_ok(
                     x.shape, self.kernel_size, self.filters,
@@ -145,15 +160,10 @@ class ConvChain(nn.Module):
             return fastconv.conv_chain_nchw(
                 x.astype(dtype), k1.astype(dtype), b1.astype(dtype),
                 k2.astype(dtype), b2.astype(dtype), pads)
-        # MXU "flatland" chain (opt-in, ops/pallas/flatchain.py): covers
-        # the mid-channel chains the scalar kernel rejects, same param tree
-        if (fuse_relu and not self.bn and self.n_conv == 2
-                and self.conv_stride == 1 and self.data_format == 'NCHW'
-                and not isinstance(x, (tuple, list))
-                and isinstance(self.padding, str)
-                and fastconv.flat_chain_ok(
-                    x.shape, self.kernel_size, self.filters,
-                    _canon_padding(self.padding), self.dtype)):
+        # MXU "flatland" chain (ops/pallas/flatchain.py): covers the
+        # mid-channel chains the scalar kernel rejects plus the decoder
+        # chains routed here by prefer_flat; same param tree
+        if flat_ok:
             from ..ops.pallas import flatchain
             from ..parallel import mesh as mesh_lib_
             ks = (self.kernel_size, self.kernel_size)

@@ -54,6 +54,12 @@ def main():
     def flat_chain(x, w1, b1, w2, b2):
         return flatchain.conv_chain_flat_nchw(x, w1, b1, w2, b2, False)
 
+    from dnncancerannotator_tpu.models import fastconv
+
+    def stencil_chain(x, w1, b1, w2, b2):
+        pads = ((1, 1), (1, 1))
+        return fastconv.conv_chain_nchw(x, w1, b1, w2, b2, pads)
+
     def bench(tag, fn, grad):
         if grad:
             f = jax.jit(jax.grad(
@@ -86,6 +92,11 @@ def main():
     c = bench('XLA chain fwd+bwd', xla_chain, True)
     d = bench('flat chain fwd+bwd', flat_chain, True)
     print(f'  speedup fwd {a / b:5.2f}x   fwd+bwd {c / d:5.2f}x')
+    if fastconv.chain_pallas_ok((B, ci, H, W), 3, co, ((1, 1), (1, 1))) \
+            and cm == co:
+        e = bench('stencil chain fwd', stencil_chain, False)
+        f_ = bench('stencil chain fwd+bwd', stencil_chain, True)
+        print(f'  flat-vs-stencil fwd {e / b:5.2f}x   fwd+bwd {f_ / d:5.2f}x')
 
 
 if __name__ == '__main__':
