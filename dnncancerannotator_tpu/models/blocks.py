@@ -137,7 +137,12 @@ class ConvChain(nn.Module):
                    and fastconv.flat_chain_ok(
                        x.shape, self.kernel_size, self.filters,
                        _canon_padding(self.padding), self.dtype))
-        prefer_flat = flat_ok and x.shape[1] > self.filters
+        # ...but only up to 128^2: at 256^2 the stencil beat the flat
+        # kernel ~2x (687 vs ~375 us fwd+bwd at 6->3->3) even though flat
+        # beats XLA 4.8x there, so 256^2 flat is kept only for chains the
+        # stencil rejects.
+        prefer_flat = (flat_ok and x.shape[1] > self.filters
+                       and x.shape[2] * x.shape[3] <= 128 * 128)
         # whole-cell fusion: both convs + relus in one Pallas kernel per
         # direction (NCHW, SAME, no BN) — param tree identical to the
         # unfused path below

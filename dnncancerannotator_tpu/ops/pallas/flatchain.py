@@ -138,6 +138,18 @@ def _pad8(c):
     return -(-c // 8) * 8
 
 
+def _use_im2col(ci, cm, hw):
+    '''Per-shape strategy: im2col when its two [9*Cp, HW] scratches and
+    activation blocks fit the 12 MB working-set budget, nine-dot
+    otherwise (no scratches — lets 256^2 planes in under the raised
+    vmem_limit).  DNNCA_FLATCHAIN_IM2COL=0 forces nine-dot everywhere.'''
+    if not _im2col():
+        return False
+    cip, cmp_ = _pad8(ci), _pad8(cm)
+    return (9 * (cip + cmp_) + 10 * max(ci, cm)) * hw * 4 \
+        <= 12 * 1024 * 1024
+
+
 def _fwd_kernel_im2col(x_ref, w1f_ref, b1_ref, w2f_ref, b2_ref, o_ref,
                        c1_ref, im1_ref, im2_ref, *, W, interpret):
     '''One image: im1/im2 are [9*Cp, HW] scratches; each conv is ONE dot.
@@ -347,6 +359,9 @@ def _fwd_call(xf, w1, b1, w2, b2, Wd, interpret):
             jax.ShapeDtypeStruct((b, co, hw), jnp.float32),
             jax.ShapeDtypeStruct((b, cm, hw), jnp.float32),
         ],
+        # 256^2 planes: several [C, 65536] f32 values live at once
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=40 * 1024 * 1024),
         interpret=interpret,
     )(xf, w1t, b1[:, None], w2t, b2[:, None])
     return out, c1
@@ -386,6 +401,8 @@ def _bwd_call(xf, c1, out, g, w1, w2, Wd, interpret):
             jax.ShapeDtypeStruct((9, co, cm), jnp.float32),
             jax.ShapeDtypeStruct((co, 1), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=40 * 1024 * 1024),
         interpret=interpret,
     )(xf, w1_taps, w1t, w2_taps, w2t, c1, out, g)
     dw1 = jnp.transpose(dw1t, (0, 2, 1)).reshape(3, 3, ci, cm)
@@ -414,7 +431,8 @@ def _chain_fwd(x, w1, b1, w2, b2, interpret):
     import jax as _jax
     b, c, h, w = x.shape
     xf = x.reshape(b, c, h * w)
-    fwd = functools.partial(_fwd_call_im2col if _im2col() else _fwd_call,
+    im2col = _use_im2col(c, w1.shape[-1], h * w)
+    fwd = functools.partial(_fwd_call_im2col if im2col else _fwd_call,
                             Wd=w, interpret=interpret)
     mesh = _spmd_mesh(b)
     if mesh is not None and _jax.device_count() != 1:
@@ -431,7 +449,8 @@ def _chain_bwd(interpret, res, g):
     b = xf.shape[0]
     co = w2.shape[-1]
     gf = g.reshape(b, co, h * w)
-    bwd = functools.partial(_bwd_call_im2col if _im2col() else _bwd_call,
+    im2col = _use_im2col(xf.shape[1], w1.shape[-1], h * w)
+    bwd = functools.partial(_bwd_call_im2col if im2col else _bwd_call,
                             Wd=w, interpret=interpret)
     mesh = _spmd_mesh(b)
     if mesh is not None and _jax.device_count() != 1:
@@ -455,17 +474,11 @@ def flat_chain_ok(xshape, kernel_size, filters, padding, dtype):
         return False
     b, ci, h, w = xshape
     hw = h * w
-    if hw > 128 * 128 or w % 8 != 0:
+    if hw > 256 * 256 or w % 8 != 0:
         return False
+    if _use_im2col(ci, filters, hw):
+        return True          # fits the 12 MB budget by construction
+    # nine-dot: no scratches; bwd keeps ~8 activation planes resident
+    # (x, c1, out, g, dx + roll temps) under the raised 40 MB vmem_limit
     cmax = max(ci, filters)
-    if _im2col():
-        # bwd resident: two [9*Cp, HW] scratches + ~5 double-buffered
-        # activation blocks
-        cip, cmp_ = _pad8(ci), _pad8(filters)
-        vmem = (9 * (cip + cmp_) + 10 * cmax) * hw * 4
-    else:
-        # fwd resident: x + c1 + out blocks + 9 weight taps; ~6 planes margin
-        vmem = 6 * cmax * hw * 4
-    if vmem > 12 * 1024 * 1024:
-        return False
-    return True
+    return 8 * cmax * hw * 4 <= 20 * 1024 * 1024
