@@ -167,6 +167,7 @@ class Engine:
         # OMITS an option must not inherit a previous Engine's setting:
         # restore the pre-Engine environment value in that case.
         for opt, env in (('flatchain', 'DNNCA_FLATCHAIN'),
+                         ('flat_tconv', 'DNNCA_FLATTCONV'),
                          ('pallas_tconv', 'DNNCA_PTCONV'),
                          ('pallas_pool', 'DNNCA_PPOOL')):
             val = deploy.pop(opt, None)

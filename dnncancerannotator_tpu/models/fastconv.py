@@ -426,6 +426,18 @@ class ConvTranspose2DFast(nn.Module):
                     (self.features,), jnp.float32),
                 mesh_lib.pallas_interpret())
             return out
+        from ..ops.pallas import flattconv
+        if dtype == jnp.float32 and flattconv.tconv_flat_ok(
+                x.shape, self.kernel_size, self.strides, self.features,
+                self.data_format, self.dtype):
+            # flatland tconv: interleaves via permutation-matrix dots and
+            # block placement instead of the 6D einsum-interleave copies
+            # (ops/pallas/flattconv.py); bias rides inside the kernel
+            return flattconv.conv_transpose2x2_flat_nchw(
+                x, kernel,
+                bias if bias is not None else jnp.zeros(
+                    (self.features,), jnp.float32),
+                mesh_lib.pallas_interpret())
         if small:
             # positional: custom_vjp functions reject keyword arguments
             out = stencil_conv_transpose2d(x, kernel, kh, self.data_format)
