@@ -442,16 +442,27 @@ class Engine:
             images = aug_fn(images, key)
             x, y = augment_mod.to_feature_label(images, slice_types)
 
+            # the loss only differentiates params, so d(loss)/d(input) is
+            # dead work — models that accept the flag elide the first
+            # chain's dx stencil from the fused backward kernel (the
+            # Visualizer's input-sensitivity grad keeps the default True)
+            import inspect as _inspect
+            kw = {}
+            if 'input_grad' in _inspect.signature(
+                    type(model).__call__).parameters:
+                kw['input_grad'] = False
+
             def loss_fn(params):
                 variables = {'params': params}
                 if has_bn:
                     variables['batch_stats'] = state['batch_stats']
                     logits, mut = model.apply(
                         variables, x, training=True, return_logits=True,
-                        mutable=['batch_stats'])
+                        mutable=['batch_stats'], **kw)
                 else:
                     logits = model.apply(
-                        variables, x, training=True, return_logits=True)
+                        variables, x, training=True, return_logits=True,
+                        **kw)
                     mut = {}
                 loss = jnp.mean(loss_obj.per_sample(y, logits))
                 total = loss + reg_fn(params)

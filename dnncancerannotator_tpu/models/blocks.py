@@ -117,7 +117,11 @@ class ConvChain(nn.Module):
     data_format: str = 'NHWC'
 
     @nn.compact
-    def __call__(self, x, training: bool = False):
+    def __call__(self, x, training: bool = False, input_grad: bool = True):
+        # ``input_grad=False`` marks a chain consuming raw data (no grads
+        # needed w.r.t. x): the fused backward elides the dx stencil.
+        # Call-time (not config) so e.g. the Visualizer's input-sensitivity
+        # jax.grad (utils/viz.py:118) keeps real input gradients.
         # plain relu is fused into the conv kernel; anything else (leaky,
         # elu, Keras identifier dicts) is applied separately
         fuse_relu = self.activation in ('relu', 'ReLU')
@@ -164,7 +168,7 @@ class ConvChain(nn.Module):
                 (1, 1), _canon_padding(self.padding))
             return fastconv.conv_chain_nchw(
                 x.astype(dtype), k1.astype(dtype), b1.astype(dtype),
-                k2.astype(dtype), b2.astype(dtype), pads)
+                k2.astype(dtype), b2.astype(dtype), pads, input_grad)
         # MXU "flatland" chain (ops/pallas/flatchain.py): covers the
         # mid-channel chains the scalar kernel rejects plus the decoder
         # chains routed here by prefer_flat; same param tree
@@ -215,14 +219,14 @@ class Downsample(nn.Module):
     data_format: str = 'NHWC'
 
     @nn.compact
-    def __call__(self, x, training: bool = False):
+    def __call__(self, x, training: bool = False, input_grad: bool = True):
         conv = ConvChain(
             filters=self.filters, kernel_size=self.kernel_size,
             conv_stride=self.conv_stride, bn=self.bn, n_conv=self.n_conv,
             padding=self.padding, activation=self.activation, dtype=self.dtype,
             data_format=self.data_format,
             name='convchain',
-        )(x, training=training)
+        )(x, training=training, input_grad=input_grad)
         pooled = pooling.max_pool2d(conv, self.rate,
                                     data_format=self.data_format)
         if self.bn:
@@ -301,7 +305,7 @@ class Encoder(nn.Module):
     data_format: str = 'NHWC'
 
     @nn.compact
-    def __call__(self, x, training: bool = False):
+    def __call__(self, x, training: bool = False, input_grad: bool = True):
         skips = []
         filters = self.filters_first
         for i in range(self.n_downsample):
@@ -311,7 +315,8 @@ class Encoder(nn.Module):
                 padding=self.padding, activation=self.activation,
                 dtype=self.dtype, data_format=self.data_format,
                 name=f'down_{i}',
-            )(x, training=training)
+            )(x, training=training,
+              input_grad=input_grad if i == 0 else True)
             skips.append(skip)
             filters = int(self.rate * filters)
         return skips, x

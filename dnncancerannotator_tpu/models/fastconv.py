@@ -531,23 +531,28 @@ def _chain_call(x, w1, b1, w2, b2, pads):
     return fn(x, w1, b1, w2, b2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def conv_chain_nchw(x, w1, b1, w2, b2, pads):
-    '''relu(conv(relu(conv(x, w1) + b1), w2) + b2), fused (NCHW).'''
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def conv_chain_nchw(x, w1, b1, w2, b2, pads, need_dx=True):
+    '''relu(conv(relu(conv(x, w1) + b1), w2) + b2), fused (NCHW).
+
+    ``need_dx=False`` marks a first-layer chain whose d(loss)/d(input)
+    is dead work: the fused backward kernel elides the dx stencil (XLA
+    cannot DCE it out of the fused call) and returns zeros for dx.'''
     _, c2 = _chain_call(x, w1, b1, w2, b2, pads)
     return c2.astype(x.dtype)
 
 
-def _chain_fwd(x, w1, b1, w2, b2, pads):
+def _chain_fwd(x, w1, b1, w2, b2, pads, need_dx):
     c1, c2 = _chain_call(x, w1, b1, w2, b2, pads)
     return c2.astype(x.dtype), (x, w1, w2, c1, c2)
 
 
-def _chain_bwd(pads, res, g):
+def _chain_bwd(pads, need_dx, res, g):
     x, w1, w2, c1, c2 = res
     from ..ops.pallas.conv_kernel import conv_chain_bwd_pallas
     fn = functools.partial(conv_chain_bwd_pallas, pads=pads,
-                           interpret=mesh_lib.pallas_interpret())
+                           interpret=mesh_lib.pallas_interpret(),
+                           need_dx=need_dx)
     mesh = _conv_spmd_mesh(x.shape[0])
     if mesh is not None and jax.device_count() != 1:
         # dx batch-sharded; the four weight/bias grads summed across shards

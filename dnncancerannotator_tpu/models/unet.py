@@ -36,14 +36,14 @@ class UNet(nn.Module):
     data_format: str = 'NHWC'
 
     @nn.compact
-    def __call__(self, x, training: bool = False):
+    def __call__(self, x, training: bool = False, input_grad: bool = True):
         skips, x = blocks.Encoder(
             filters_first=self.filters_first, n_downsample=self.n_downsample,
             rate=self.rate, kernel_size=self.kernel_size,
             conv_stride=self.conv_stride, bn=self.bn, padding=self.padding,
             activation=self.activation, dtype=self.dtype,
             data_format=self.data_format, name='encoder',
-        )(x, training=training)
+        )(x, training=training, input_grad=input_grad)
         x = blocks.Decoder(
             rate=self.rate, kernel_size=self.kernel_size,
             conv_stride=self.conv_stride, bn=self.bn, padding=self.padding,
@@ -71,7 +71,7 @@ class MulmoUNet(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x, training: bool = False):
+    def __call__(self, x, training: bool = False, input_grad: bool = True):
         n_channels = x.shape[-1]
         skips_list = []
         bottlenecks = []
@@ -82,7 +82,7 @@ class MulmoUNet(nn.Module):
                 kernel_size=self.kernel_size, conv_stride=self.conv_stride,
                 bn=self.bn, padding=self.padding, activation=self.activation,
                 dtype=self.dtype, name=f'encoder_{idx}',
-            )(x[..., idx:idx + 1], training=training)
+            )(x[..., idx:idx + 1], training=training, input_grad=input_grad)
             skips_list.append(skips)
             bottlenecks.append(bottom)
         bottleneck = jnp.concatenate(bottlenecks, axis=-1)
@@ -127,11 +127,12 @@ class UNetAnnotator(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, x, training: bool = False, return_logits: bool = False):
+    def __call__(self, x, training: bool = False, return_logits: bool = False,
+                 input_grad: bool = True):
         fmt = self._resolve_format()
         if fmt == 'NCHW':
             x = jnp.transpose(x, (0, 3, 1, 2))
-        x = self._body(fmt)(x, training=training)
+        x = self._body(fmt)(x, training=training, input_grad=input_grad)
         logits = blocks.Conv2DFast(
             features=1, kernel_size=(1, 1),
             padding=blocks._canon_padding(self.padding), dtype=self.dtype,

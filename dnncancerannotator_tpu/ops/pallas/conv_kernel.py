@@ -383,14 +383,20 @@ def conv_chain_pallas(x, w1, b1, w2, b2, pads=((1, 1), (1, 1)),
     return c1, c2
 
 
-def _chain_bwd_kernel(w_ref, xp_ref, c1_ref, c2_ref, g_ref, dx_ref, dw_ref,
-                      sh_ref, g2p_ref, c1p_ref, dc1p_ref, aux_ref,
-                      *, kh, kw, ci, cm, co, h, w, pads, gpads):
+def _chain_bwd_kernel(w_ref, xp_ref, c1_ref, c2_ref, g_ref, *refs,
+                      kh, kw, ci, cm, co, h, w, pads, gpads, need_dx=True):
     '''Whole ConvChain backward for one batch image, dw/db accumulated in
     SMEM across the sequential batch grid.
 
-    SMEM output layout: [dw1 | db1 | dw2 | db2].
+    SMEM output layout: [dw1 | db1 | dw2 | db2]. With ``need_dx=False``
+    (first-layer chains, where d(loss)/d(input) is dead work) the dx
+    stencil, its dc1p staging scratch, and the dx output are all elided.
     '''
+    if need_dx:
+        dx_ref, dw_ref, sh_ref, g2p_ref, c1p_ref, dc1p_ref, aux_ref = refs
+    else:
+        dw_ref, sh_ref, g2p_ref, c1p_ref, aux_ref = refs
+        dx_ref = dc1p_ref = None
     first = pl.program_id(0) == 0
     n1 = kh * kw * ci * cm
     n2 = kh * kw * cm * co
@@ -446,8 +452,9 @@ def _chain_bwd_kernel(w_ref, xp_ref, c1_ref, c2_ref, g_ref, dx_ref, dw_ref,
     for i in range(cm):
         masked = jnp.where(c1_ref[0, i] > 0, aux_ref[i], 0.0)
         aux_ref[i] = masked
-        dc1p_ref[i] = jnp.zeros((h + kh - 1, w + kw - 1), jnp.float32)
-        dc1p_ref[i, gy0:gy0 + h, gx0:gx0 + w] = masked
+        if need_dx:
+            dc1p_ref[i] = jnp.zeros((h + kh - 1, w + kw - 1), jnp.float32)
+            dc1p_ref[i, gy0:gy0 + h, gx0:gx0 + w] = masked
 
     # dw1 / db1
     def emit_dw1(i, dy, dxx, window):
@@ -461,23 +468,28 @@ def _chain_bwd_kernel(w_ref, xp_ref, c1_ref, c2_ref, g_ref, dx_ref, dw_ref,
         acc(n1 + o, jnp.sum(aux_ref[o]))
 
     # dx = stencil(dc1p, flip(w1))
-    for i in range(ci):
-        dx_ref[0, i] = jnp.zeros((h, w), jnp.float32)
-
-    def emit_dx(o, ey, ex, window):
+    if need_dx:
         for i in range(ci):
-            wv = w_ref[(((kh - 1 - ey) * kw + (kw - 1 - ex)) * ci + i)
-                       * cm + o]
-            dx_ref[0, i] = dx_ref[0, i] + window * wv
+            dx_ref[0, i] = jnp.zeros((h, w), jnp.float32)
 
-    _tap_loop(cm, kh, kw, h, w, sh_ref,
-              lambda o, ex: dc1p_ref[o, :, ex:ex + w], emit_dx)
+        def emit_dx(o, ey, ex, window):
+            for i in range(ci):
+                wv = w_ref[(((kh - 1 - ey) * kw + (kw - 1 - ex)) * ci + i)
+                           * cm + o]
+                dx_ref[0, i] = dx_ref[0, i] + window * wv
+
+        _tap_loop(cm, kh, kw, h, w, sh_ref,
+                  lambda o, ex: dc1p_ref[o, :, ex:ex + w], emit_dx)
 
 
-@functools.partial(jax.jit, static_argnames=('pads', 'interpret'))
+@functools.partial(jax.jit,
+                   static_argnames=('pads', 'interpret', 'need_dx'))
 def conv_chain_bwd_pallas(x, c1, c2, g, w1, w2, pads=((1, 1), (1, 1)),
-                          interpret=False):
-    '''Fused backward of the conv chain: returns (dx, dw1, db1, dw2, db2).'''
+                          interpret=False, need_dx=True):
+    '''Fused backward of the conv chain: returns (dx, dw1, db1, dw2, db2).
+
+    ``need_dx=False`` (first-layer chains) elides the dx stencil and
+    returns zeros for dx.'''
     b, ci, h, wd = x.shape
     kh, kw, _, cm = w1.shape
     co = w2.shape[3]
@@ -492,9 +504,29 @@ def conv_chain_bwd_pallas(x, c1, c2, g, w1, w2, pads=((1, 1), (1, 1)),
         w1.astype(jnp.float32).reshape(-1),
         jnp.zeros((cm,), jnp.float32),
         w2.astype(jnp.float32).reshape(-1)])
-    dx, dsum = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, ci, h, wd), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, ci, h, wd), jnp.float32),
+        jax.ShapeDtypeStruct((n1 + cm + n2 + co,), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((h + kh - 1, wd), jnp.float32),
+        pltpu.VMEM((co, h + kh - 1, wd + kw - 1), jnp.float32),
+        pltpu.VMEM((cm, hp, wp), jnp.float32),
+        pltpu.VMEM((cm, h + kh - 1, wd + kw - 1), jnp.float32),
+        pltpu.VMEM((max(cm, co), h, wd), jnp.float32),
+    ]
+    if not need_dx:
+        out_specs, out_shape = out_specs[1:], out_shape[1:]
+        del scratch[3]  # the dc1p staging plane only feeds the dx stencil
+    res = pl.pallas_call(
         functools.partial(_chain_bwd_kernel, kh=kh, kw=kw, ci=ci, cm=cm,
-                          co=co, h=h, w=wd, pads=pads, gpads=gpads),
+                          co=co, h=h, w=wd, pads=pads, gpads=gpads,
+                          need_dx=need_dx),
         grid=(b,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -507,28 +539,20 @@ def conv_chain_bwd_pallas(x, c1, c2, g, w1, w2, pads=((1, 1), (1, 1)),
             pl.BlockSpec((1, co, h, wd), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, ci, h, wd), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, ci, h, wd), jnp.float32),
-            jax.ShapeDtypeStruct((n1 + cm + n2 + co,), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((h + kh - 1, wd), jnp.float32),
-            pltpu.VMEM((co, h + kh - 1, wd + kw - 1), jnp.float32),
-            pltpu.VMEM((cm, hp, wp), jnp.float32),
-            pltpu.VMEM((cm, h + kh - 1, wd + kw - 1), jnp.float32),
-            pltpu.VMEM((max(cm, co), h, wd), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         # the level-0 instance sits just over XLA's default 16 MB scoped
         # VMEM (physical VMEM is far larger); raise the kernel's budget
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(wvec, xp, c1, c2, g)
+    if need_dx:
+        dx, dsum = res
+    else:
+        (dsum,) = res
+        dx = jnp.zeros((b, ci, h, wd), jnp.float32)
     return (dx,
             dsum[:n1].reshape(kh, kw, ci, cm),
             dsum[n1:n1 + cm],

@@ -210,3 +210,34 @@ def test_flatchain_config_option(monkeypatch, tmp_path):
     cfg['deploy_options']['flatchain'] = False
     engine_lib.Engine(yaml.safe_load(yaml.safe_dump(cfg)), seed=0)
     assert os.environ.get('DNNCA_FLATCHAIN') == '0'
+
+
+def test_chain_need_dx_param_grads(monkeypatch):
+    '''input_grad=False (first-layer dx elision) must not change any
+    parameter gradient; only dx is zeroed.'''
+    monkeypatch.setenv('DNNCA_PALLAS_INTERPRET', '1')
+    import numpy as np
+    from dnncancerannotator_tpu.models import fastconv as FC
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 5, 16, 16), jnp.float32)
+    w1 = jnp.asarray(rng.randn(3, 3, 5, 3) * 0.3, jnp.float32)
+    b1 = jnp.asarray(rng.randn(3) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.randn(3, 3, 3, 3) * 0.3, jnp.float32)
+    b2 = jnp.asarray(rng.randn(3) * 0.1, jnp.float32)
+    pads = ((1, 1), (1, 1))
+
+    def loss(w1_, b1_, w2_, b2_, need_dx):
+        return jnp.sum(FC.conv_chain_nchw(x, w1_, b1_, w2_, b2_, pads,
+                                          need_dx) ** 2)
+
+    g_with = jax.grad(lambda *a: loss(*a, True), argnums=(0, 1, 2, 3))(
+        w1, b1, w2, b2)
+    g_without = jax.grad(lambda *a: loss(*a, False), argnums=(0, 1, 2, 3))(
+        w1, b1, w2, b2)
+    for a, b, name in zip(g_with, g_without, 'dw1 db1 dw2 db2'.split()):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)
+    dx = jax.grad(lambda x_: jnp.sum(FC.conv_chain_nchw(
+        x_, w1, b1, w2, b2, pads, False) ** 2))(x)
+    assert not np.asarray(dx).any()
