@@ -43,14 +43,11 @@ from .parallel import mesh as mesh_lib
 from .train import losses as losses_lib
 from .train import optimizers as optimizers_lib
 from .train import schedules as schedules_lib
+from .ops import gates as gates_lib
 from .utils import checks
 from .utils import tboard
 
 logger = logging.getLogger(__name__)
-
-# env value before any Engine's deploy option overrode the kernel gate
-# (None = was unset); lets a later option-less Engine get the user's value
-_GATE_ENV_BASELINE = {}
 
 
 class _Prefetcher:
@@ -161,25 +158,12 @@ class Engine:
         self.debug_asserts = bool(deploy.pop('debug_asserts', False))
         self.max_checkpoints_to_keep = deploy.pop(
             'max_checkpoints_to_keep', None)
-        # opt-in Pallas kernel gates (flatchain / fused tconv / fused pool).
-        # The gates are read from the environment at model trace time, so a
-        # config option sets them process-wide — but an Engine whose config
-        # OMITS an option must not inherit a previous Engine's setting:
-        # restore the pre-Engine environment value in that case.
-        for opt, env in (('flatchain', 'DNNCA_FLATCHAIN'),
-                         ('flat_tconv', 'DNNCA_FLATTCONV'),
-                         ('pallas_tconv', 'DNNCA_PTCONV'),
-                         ('pallas_pool', 'DNNCA_PPOOL')):
-            val = deploy.pop(opt, None)
-            if val is not None:
-                _GATE_ENV_BASELINE.setdefault(env, os.environ.get(env))
-                os.environ[env] = '1' if val else '0'
-            elif env in _GATE_ENV_BASELINE:
-                base = _GATE_ENV_BASELINE.pop(env)
-                if base is None:
-                    os.environ.pop(env, None)
-                else:
-                    os.environ[env] = base
+        # Pallas kernel gates (flatchain / flat tconv / fused tconv+pool):
+        # an explicit per-Engine gate set, made active at trace time inside
+        # each step function — two Engines with opposing gates coexist in
+        # one process. DNNCA_* env vars remain an override-only A/B channel
+        # (ops/gates.py).
+        self.kernel_gates = gates_lib.KernelGates.from_deploy_options(deploy)
 
         self.model_name = model_config['model']
         self.model, regularizer = models_lib.build_model(
@@ -236,8 +220,9 @@ class Engine:
         if self.state is not None:
             return
         x = jnp.zeros((1, *input_shape[1:]), jnp.float32)
-        variables = self.model.init(
-            jax.random.PRNGKey(self.seed), x, training=False)
+        with gates_lib.active(self.kernel_gates):
+            variables = self.model.init(
+                jax.random.PRNGKey(self.seed), x, training=False)
         params = variables['params']
         batch_stats = variables.get('batch_stats', {})
         state = dict(
@@ -428,12 +413,14 @@ class Engine:
         reg_fn = self._reg_loss
 
         mesh = self.mesh
+        kernel_gates = self.kernel_gates
 
         def one_step(state, raw_batch, key):
-            # trace-time announcement: Pallas kernels (conv/chain/warp) may
+            # trace-time announcements: Pallas kernels (conv/chain/warp) may
             # run shard_mapped over this mesh's data axis instead of
-            # falling back to XLA under multi-device SPMD
-            with mesh_lib.pallas_spmd(mesh):
+            # falling back to XLA under multi-device SPMD, and this Engine's
+            # kernel gates govern the per-shape routing
+            with mesh_lib.pallas_spmd(mesh), gates_lib.active(kernel_gates):
                 return _one_step_body(state, raw_batch, key)
 
         def _one_step_body(state, raw_batch, key):
@@ -620,9 +607,10 @@ class Engine:
         model = self.model
 
         mesh = self.mesh
+        kernel_gates = self.kernel_gates
 
         def step_fn(state, raw_batch, n_valid):
-            with mesh_lib.pallas_spmd(mesh):
+            with mesh_lib.pallas_spmd(mesh), gates_lib.active(kernel_gates):
                 return _step_body(state, raw_batch, n_valid)
 
         def _step_body(state, raw_batch, n_valid):
@@ -1017,7 +1005,13 @@ class Engine:
             assert len(step_range) == 2
             assert 0 <= step_range[0] <= step_range[1]
 
-        eval_step = self._make_eval_step(dataset.slice_types)
+        # route through the compile cache (same key as the train-path eval
+        # step): a fresh jit costs ~10 s through the relayed compiler, and
+        # train --validate followed by an in-process evaluate() — or repeated
+        # eval() tags — would otherwise pay it every call
+        eval_step = self._cached_step(
+            ('eval', tuple(dataset.slice_types)),
+            lambda: self._make_eval_step(dataset.slice_types))
 
         viz_callback = None
         casewise_container = [] if export_csv else None
@@ -1074,7 +1068,9 @@ class Engine:
     def predict(self, dataset):
         '''Predict probabilities for every element of an EvalDataset.'''
         self.build(dataset.feature_shape)
-        eval_step = self._make_eval_step(dataset.slice_types)
+        eval_step = self._cached_step(
+            ('eval', tuple(dataset.slice_types)),
+            lambda: self._make_eval_step(dataset.slice_types))
         outputs = []
         for batch in dataset.batches():
             raw = batch['slices']

@@ -482,9 +482,9 @@ def flat_chain_ok(xshape, kernel_size, filters, padding, dtype):
     (ops/pallas/flatchain.py). Default ON since the 2026-08-18 real-chip
     A/B measured +10.4% end-to-end on unet.yaml (1784 -> 1969 slices/s,
     both strategies; see RESULTS.md round 3). Opt out with
-    DNNCA_FLATCHAIN=0 or deploy_options.flatchain: false.'''
-    import os
-    if os.environ.get('DNNCA_FLATCHAIN', '1') == '0':
+    deploy_options.flatchain: false (env DNNCA_FLATCHAIN overrides).'''
+    from ..ops import gates
+    if not gates.enabled('flatchain'):
         return False
     try:
         interp = mesh_lib.pallas_interpret()

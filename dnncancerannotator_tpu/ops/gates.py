@@ -1,0 +1,90 @@
+'''Explicit kernel-gate plumbing (config -> Engine -> trace-time routing).
+
+The Pallas kernel gates (flatchain fused ConvChain, flatland tconv, fused
+pool/tconv) decide *which kernel gets traced* inside a jitted step, so the
+setting must be visible at trace time.  Earlier rounds routed this through
+``os.environ`` mutation at Engine construction, which made two live Engines
+with different gate configs fight over process-global state and hid the
+config channel from review.  This module replaces that with an explicit
+context:
+
+- ``KernelGates`` is an immutable per-Engine gate set built from
+  ``deploy_options`` (fields left ``None`` inherit the measured defaults).
+- The Engine enters ``active(gates)`` inside each step function, so the
+  gates are in scope exactly while that Engine's model traces — two Engines
+  with opposing gates coexist in one process (tests/test_engine_e2e.py).
+- ``DNNCA_*`` environment variables remain an *override-only* channel for
+  A/B tooling (tools/ab_flatchain.sh, profile_step.py): a set env var beats
+  both the context and the default; an unset one is invisible.
+
+Defaults encode the real-chip A/B verdicts (RESULTS.md round 3): flatchain
+and flat_tconv ON (+10.4% / +10% end-to-end on unet.yaml), pallas_tconv and
+pallas_pool OFF (microbench wins, in-model losses to fusion barriers).
+
+Reference analog: the reference has no kernel routing at all (Keras picks
+cuDNN); this channel is TPU-native infrastructure.
+'''
+import contextlib
+import contextvars
+import dataclasses
+import os
+from typing import Optional
+
+_DEFAULTS = {
+    'flatchain': True,
+    'flat_tconv': True,
+    'pallas_tconv': False,
+    'pallas_pool': False,
+    'flatchain_im2col': True,
+}
+
+_ENV = {
+    'flatchain': 'DNNCA_FLATCHAIN',
+    'flat_tconv': 'DNNCA_FLATTCONV',
+    'pallas_tconv': 'DNNCA_PTCONV',
+    'pallas_pool': 'DNNCA_PPOOL',
+    'flatchain_im2col': 'DNNCA_FLATCHAIN_IM2COL',
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelGates:
+    '''Per-Engine kernel gate set; ``None`` fields inherit the default.'''
+    flatchain: Optional[bool] = None
+    flat_tconv: Optional[bool] = None
+    pallas_tconv: Optional[bool] = None
+    pallas_pool: Optional[bool] = None
+    flatchain_im2col: Optional[bool] = None
+
+    @classmethod
+    def from_deploy_options(cls, deploy):
+        '''Pop the gate keys out of a deploy_options dict (mutates it).'''
+        return cls(**{f.name: deploy.pop(f.name, None)
+                      for f in dataclasses.fields(cls)})
+
+
+_active: contextvars.ContextVar = contextvars.ContextVar(
+    'dnnca_kernel_gates', default=None)
+
+
+@contextlib.contextmanager
+def active(gates):
+    '''Make ``gates`` the trace-time gate set within the block.'''
+    token = _active.set(gates)
+    try:
+        yield
+    finally:
+        _active.reset(token)
+
+
+def enabled(name):
+    '''Resolve one gate: env override > active context > default.'''
+    env = os.environ.get(_ENV[name])
+    if env is not None and env != '':
+        return env not in ('0', 'false', 'False')
+    gates = _active.get()
+    if gates is not None:
+        val = getattr(gates, name)
+        if val is not None:
+            return bool(val)
+    return _DEFAULTS[name]

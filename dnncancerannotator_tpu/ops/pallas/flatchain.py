@@ -128,8 +128,10 @@ def _bwd_kernel(x_ref, w1_ref, w1t_ref, w2_ref, w2t_ref, c1_ref, o_ref,
 
 def _im2col():
     '''Kernel strategy: im2col-in-VMEM single-dot convs (default) vs the
-    original nine-dot formulation (DNNCA_FLATCHAIN_IM2COL=0).'''
-    return os.environ.get('DNNCA_FLATCHAIN_IM2COL', '1') == '1'
+    original nine-dot formulation (deploy_options.flatchain_im2col /
+    DNNCA_FLATCHAIN_IM2COL=0).'''
+    from .. import gates
+    return gates.enabled('flatchain_im2col')
 
 
 def _pad8(c):

@@ -237,9 +237,10 @@ def tconv_flat_ok(xshape, kernel_size, strides, features, data_format,
     '''Static eligibility: NCHW f32 kernel==stride==2 with W % 128 == 0
     (tile-aligned lane slices), even H, small channels. Default ON since
     the 2026-08-19 chip A/B measured +10% end-to-end on unet.yaml
-    (2454 -> 2703/2709 slices/s); opt out with DNNCA_FLATTCONV=0 or
-    deploy_options.flat_tconv: false.'''
-    if os.environ.get('DNNCA_FLATTCONV', '1') == '0':
+    (2454 -> 2703/2709 slices/s); opt out with deploy_options.flat_tconv:
+    false (env DNNCA_FLATTCONV overrides).'''
+    from .. import gates
+    if not gates.enabled('flat_tconv'):
         return False
     if data_format != 'NCHW' or tuple(kernel_size) != (2, 2) \
             or tuple(strides) != (2, 2):

@@ -150,7 +150,8 @@ def pool_pallas_ok(xshape, rate, data_format, dtype):
     '''Static eligibility: NHWC f32 rate-2 pools with lane-tile-aligned
     channels and even spatial dims. Opt-in via DNNCA_PPOOL=1 pending the
     real-chip A/B (tools/chip_queue2.sh).'''
-    if os.environ.get('DNNCA_PPOOL') != '1':
+    from .. import gates
+    if not gates.enabled('pallas_pool'):
         return False
     if data_format != 'NHWC' or rate != 2:
         return False

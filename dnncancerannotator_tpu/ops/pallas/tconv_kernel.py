@@ -200,7 +200,8 @@ def tconv_pallas_ok(xshape, kernel_size, strides, features, data_format,
     [M, 2Co] -> [2M, Co] reshape sits on a lane-tile boundary only when
     Co % 128 == 0; Ci likewise for the backward's inverse), and blocks
     that fit VMEM.'''
-    if os.environ.get('DNNCA_PTCONV') != '1':
+    from .. import gates
+    if not gates.enabled('pallas_tconv'):
         return False
     if data_format != 'NHWC' or tuple(kernel_size) != (2, 2) \
             or tuple(strides) != (2, 2):

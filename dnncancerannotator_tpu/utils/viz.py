@@ -27,6 +27,7 @@ import numpy as np
 from ..data import augment as augment_mod
 from ..metrics import pixel as pixel_metrics
 from ..metrics import region as region_metrics
+from ..ops import gates as gates_lib
 from ..parallel import mesh as mesh_lib
 from . import tboard
 
@@ -98,9 +99,10 @@ class Visualizer:
         with_sens = self.show_sensitivity
 
         mesh = engine.mesh
+        kernel_gates = engine.kernel_gates
 
         def fn(state, raw_batch):
-            with mesh_lib.pallas_spmd(mesh):
+            with mesh_lib.pallas_spmd(mesh), gates_lib.active(kernel_gates):
                 return body(state, raw_batch)
 
         def body(state, raw_batch):

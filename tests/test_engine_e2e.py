@@ -193,30 +193,46 @@ def test_train_resume_evaluate_predict(env):
 
 
 
-def test_kernel_gate_env_scoped_per_engine():
-    '''An Engine whose config omits a Pallas kernel gate must not inherit a
-    previous Engine's process-wide setting (gates ride os.environ because
-    the kernels read them at trace time).'''
+def test_kernel_gates_per_engine_coexist(monkeypatch):
+    '''Two Engines with opposing Pallas kernel gates coexist in one
+    process: each one's jitted step routes by its own gate set (explicit
+    trace-time context, ops/gates.py), the environment is never mutated,
+    and an Engine whose config omits a gate gets the default — not a
+    previous Engine's setting.'''
     from dnncancerannotator_tpu import engine as engine_lib
+    from dnncancerannotator_tpu.models import fastconv
+    from dnncancerannotator_tpu.ops import gates as gates_lib
 
-    env_key = 'DNNCA_FLATCHAIN'
-    saved = os.environ.pop(env_key, None)
-    try:
-        cfg_on = yaml.safe_load(yaml.safe_dump(TINY_CONFIG))
-        cfg_on['deploy_options']['flatchain'] = True
-        cfg_on['deploy_options']['enable_multigpu'] = False
-        engine_lib.Engine(cfg_on, seed=0)
-        assert os.environ.get(env_key) == '1'
+    monkeypatch.delenv('DNNCA_FLATCHAIN', raising=False)
+    monkeypatch.setenv('DNNCA_PALLAS_INTERPRET', '1')
 
-        cfg_off = yaml.safe_load(yaml.safe_dump(TINY_CONFIG))
-        cfg_off['deploy_options']['enable_multigpu'] = False
-        engine_lib.Engine(cfg_off, seed=0)
-        assert env_key not in os.environ
-    finally:
-        if saved is None:
-            os.environ.pop(env_key, None)
-        else:
-            os.environ[env_key] = saved
+    cfg_on = yaml.safe_load(yaml.safe_dump(TINY_CONFIG))
+    cfg_on['deploy_options']['flatchain'] = True
+    cfg_on['deploy_options']['enable_multigpu'] = False
+    eng_on = engine_lib.Engine(cfg_on, seed=0)
+
+    cfg_off = yaml.safe_load(yaml.safe_dump(TINY_CONFIG))
+    cfg_off['deploy_options']['flatchain'] = False
+    cfg_off['deploy_options']['enable_multigpu'] = False
+    eng_off = engine_lib.Engine(cfg_off, seed=0)
+
+    assert 'DNNCA_FLATCHAIN' not in os.environ
+
+    # a chain shape that is flatchain-eligible when the gate is on
+    shape, ks, filters = (1, 6, 64, 64), 3, 12
+    routed = []
+    for eng in (eng_on, eng_off):
+        with gates_lib.active(eng.kernel_gates):
+            routed.append(
+                fastconv.flat_chain_ok(shape, ks, filters, 'SAME', None))
+    assert routed == [True, False]
+
+    # omitting the gate inherits the default (ON), not eng_off's setting
+    cfg_default = yaml.safe_load(yaml.safe_dump(TINY_CONFIG))
+    cfg_default['deploy_options']['enable_multigpu'] = False
+    eng_default = engine_lib.Engine(cfg_default, seed=0)
+    with gates_lib.active(eng_default.kernel_gates):
+        assert fastconv.flat_chain_ok(shape, ks, filters, 'SAME', None)
 
 
 def test_prefetcher_close_releases_producer():

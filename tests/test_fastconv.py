@@ -187,10 +187,12 @@ def test_flat_chain_wired_into_convchain(monkeypatch):
 
 def test_flatchain_config_option(monkeypatch, tmp_path):
     '''deploy_options.flatchain (configs/additionals/flatchain.yaml) must
-    set the process-wide kernel gate that flat_chain_ok reads.'''
+    reach the per-Engine gate set that flat_chain_ok reads at trace time;
+    the environment is NOT mutated (override-only channel).'''
     import os
     import yaml
     from dnncancerannotator_tpu import engine as engine_lib
+    from dnncancerannotator_tpu.ops import gates as gates_lib
 
     monkeypatch.delenv('DNNCA_FLATCHAIN', raising=False)
     cfg = {
@@ -205,11 +207,18 @@ def test_flatchain_config_option(monkeypatch, tmp_path):
         open(os.path.join(repo, 'configs/additionals/flatchain.yaml')))
     assert overlay == {'deploy_options.flatchain': True}
     cfg['deploy_options']['flatchain'] = True
-    engine_lib.Engine(yaml.safe_load(yaml.safe_dump(cfg)), seed=0)
-    assert os.environ.get('DNNCA_FLATCHAIN') == '1'
+    eng_on = engine_lib.Engine(yaml.safe_load(yaml.safe_dump(cfg)), seed=0)
     cfg['deploy_options']['flatchain'] = False
-    engine_lib.Engine(yaml.safe_load(yaml.safe_dump(cfg)), seed=0)
-    assert os.environ.get('DNNCA_FLATCHAIN') == '0'
+    eng_off = engine_lib.Engine(yaml.safe_load(yaml.safe_dump(cfg)), seed=0)
+    assert 'DNNCA_FLATCHAIN' not in os.environ
+    with gates_lib.active(eng_on.kernel_gates):
+        assert gates_lib.enabled('flatchain') is True
+    with gates_lib.active(eng_off.kernel_gates):
+        assert gates_lib.enabled('flatchain') is False
+    # env var remains an override-only A/B channel over the config
+    monkeypatch.setenv('DNNCA_FLATCHAIN', '0')
+    with gates_lib.active(eng_on.kernel_gates):
+        assert gates_lib.enabled('flatchain') is False
 
 
 def test_chain_need_dx_param_grads(monkeypatch):
