@@ -50,22 +50,26 @@ class ConvBN(nn.Module):
         return x
 
 
-class TransConvBN(nn.Module):
+class UpTconv(nn.Module):
+    '''Decoder upsample: a *raw* ConvTranspose(2x2/2) with bias.
+
+    The reference defines ``trans_conv2d_bn`` (multiresunet.py:63-87) but its
+    topology never uses it — every decoder upsample is a plain
+    ``Conv2DTranspose`` with default bias and NO BatchNorm
+    (multiresunet.py:200-218). Round 4 parity work found this implementation
+    originally inserted a BN here; the Keras forward-parity test
+    (tests/test_tf_parity.py) now pins the corrected structure.
+    '''
     filters: int
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x, training: bool = False):
-        x = nn.ConvTranspose(
+    def __call__(self, x):
+        return nn.ConvTranspose(
             features=self.filters, kernel_size=(2, 2), strides=(2, 2),
             padding='SAME', dtype=self.dtype, name='tconv',
             kernel_init=nn.initializers.glorot_uniform(),
         )(x)
-        x = fastbn.BatchNormFast(
-            use_running_average=not training, momentum=0.99, epsilon=1e-3,
-            use_scale=False, dtype=self.dtype, name='bn',
-        )(x)
-        return x
 
 
 class MultiResBlock(nn.Module):
@@ -157,19 +161,19 @@ class MultiResUnet(nn.Module):
         m5 = MultiResBlock(F * 16, dtype=dt, name='mres5')(p4, training=training)
 
         u6 = jnp.concatenate(
-            [TransConvBN(F * 8, dtype=dt, name='up6')(m5, training=training), m4], axis=-1)
+            [UpTconv(F * 8, dtype=dt, name='up6')(m5), m4], axis=-1)
         m6 = MultiResBlock(F * 8, dtype=dt, name='mres6')(u6, training=training)
 
         u7 = jnp.concatenate(
-            [TransConvBN(F * 4, dtype=dt, name='up7')(m6, training=training), m3], axis=-1)
+            [UpTconv(F * 4, dtype=dt, name='up7')(m6), m3], axis=-1)
         m7 = MultiResBlock(F * 4, dtype=dt, name='mres7')(u7, training=training)
 
         u8 = jnp.concatenate(
-            [TransConvBN(F * 2, dtype=dt, name='up8')(m7, training=training), m2], axis=-1)
+            [UpTconv(F * 2, dtype=dt, name='up8')(m7), m2], axis=-1)
         m8 = MultiResBlock(F * 2, dtype=dt, name='mres8')(u8, training=training)
 
         u9 = jnp.concatenate(
-            [TransConvBN(F, dtype=dt, name='up9')(m8, training=training), m1], axis=-1)
+            [UpTconv(F, dtype=dt, name='up9')(m8), m1], axis=-1)
         m9 = MultiResBlock(F, dtype=dt, name='mres9')(u9, training=training)
 
         # 1x1 head: conv (no bias) + BN, logits taken pre-sigmoid
