@@ -291,7 +291,11 @@ class Upsample(nn.Module):
 
 
 class Encoder(nn.Module):
-    '''Chain of Downsample blocks; filters scale by ``rate`` per level.'''
+    '''Chain of Downsample blocks; filters scale by ``rate`` per level.
+
+    ``level0_dtype`` (selective precision, BF16_DRIFT.md): overrides
+    ``dtype`` for ``down_0`` only — the full-resolution level.
+    '''
     filters_first: int
     n_downsample: int
     rate: int
@@ -303,17 +307,20 @@ class Encoder(nn.Module):
     activation: Any = 'relu'
     dtype: Optional[Any] = None
     data_format: str = 'NHWC'
+    level0_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, training: bool = False, input_grad: bool = True):
         skips = []
         filters = self.filters_first
         for i in range(self.n_downsample):
+            dtype = (self.level0_dtype if i == 0 and
+                     self.level0_dtype is not None else self.dtype)
             skip, x = Downsample(
                 filters=filters, rate=self.rate, kernel_size=self.kernel_size,
                 conv_stride=self.conv_stride, bn=self.bn, n_conv=self.n_conv,
                 padding=self.padding, activation=self.activation,
-                dtype=self.dtype, data_format=self.data_format,
+                dtype=dtype, data_format=self.data_format,
                 name=f'down_{i}',
             )(x, training=training,
               input_grad=input_grad if i == 0 else True)
@@ -337,16 +344,22 @@ class Decoder(nn.Module):
     activation: Any = 'relu'
     dtype: Optional[Any] = None
     data_format: str = 'NHWC'
+    # selective precision: override dtype for the LAST upsample (the
+    # full-resolution level that feeds the head) — see Encoder.level0_dtype
+    level0_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, skips: Sequence[jnp.ndarray], training: bool = False):
         chan_axis = 1 if self.data_format == 'NCHW' else -1
+        last = len(skips) - 1
         for i, skip in enumerate(reversed(skips)):
+            dtype = (self.level0_dtype if i == last and
+                     self.level0_dtype is not None else self.dtype)
             x = Upsample(
                 filters=skip.shape[chan_axis], rate=self.rate,
                 kernel_size=self.kernel_size, conv_stride=self.conv_stride,
                 bn=self.bn, n_conv=self.n_conv, padding=self.padding,
-                activation=self.activation, dtype=self.dtype,
+                activation=self.activation, dtype=dtype,
                 data_format=self.data_format, name=f'up_{i}',
             )(x, skip, training=training)
         return x

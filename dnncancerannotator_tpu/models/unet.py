@@ -23,7 +23,14 @@ from . import blocks
 
 
 class UNet(nn.Module):
-    '''Plain U-Net body (no head).'''
+    '''Plain U-Net body (no head).
+
+    ``f32_level0``: run the outermost level (encoder ``down_0`` and the
+    final decoder upsample) in float32 even when ``dtype`` is bfloat16 —
+    a selective-precision policy for bf16 training (BF16_DRIFT.md): the
+    full-resolution level feeds the head directly, so its rounding error
+    is the least averaged-out.
+    '''
     filters_first: int
     n_downsample: int
     rate: int
@@ -34,20 +41,24 @@ class UNet(nn.Module):
     activation: Any = 'relu'
     dtype: Optional[Any] = None
     data_format: str = 'NHWC'
+    f32_level0: bool = False
 
     @nn.compact
     def __call__(self, x, training: bool = False, input_grad: bool = True):
+        level0_dtype = jnp.float32 if self.f32_level0 else None
         skips, x = blocks.Encoder(
             filters_first=self.filters_first, n_downsample=self.n_downsample,
             rate=self.rate, kernel_size=self.kernel_size,
             conv_stride=self.conv_stride, bn=self.bn, padding=self.padding,
             activation=self.activation, dtype=self.dtype,
+            level0_dtype=level0_dtype,
             data_format=self.data_format, name='encoder',
         )(x, training=training, input_grad=input_grad)
         x = blocks.Decoder(
             rate=self.rate, kernel_size=self.kernel_size,
             conv_stride=self.conv_stride, bn=self.bn, padding=self.padding,
             activation=self.activation, dtype=self.dtype,
+            level0_dtype=level0_dtype,
             data_format=self.data_format, name='decoder',
         )(x, skips, training=training)
         return x
@@ -111,6 +122,12 @@ class UNetAnnotator(nn.Module):
     # channel last, so BN models stay NHWC). Parameters are layout-agnostic
     # (HWIO kernels), so checkpoints are interchangeable between layouts.
     data_format: str = 'auto'
+    # selective-precision policies for bf16 training (BF16_DRIFT.md):
+    # f32_head keeps the 1x1 logits conv in float32; f32_level0 keeps the
+    # full-resolution encoder/decoder level in float32. Both are no-ops
+    # under f32 compute.
+    f32_head: bool = False
+    f32_level0: bool = False
 
     def _resolve_format(self):
         if self.data_format != 'auto':
@@ -123,6 +140,7 @@ class UNetAnnotator(nn.Module):
             rate=self.rate, kernel_size=self.kernel_size,
             conv_stride=self.conv_stride, bn=self.bn, padding=self.padding,
             activation=self.activation, dtype=self.dtype, data_format=fmt,
+            f32_level0=self.f32_level0,
             name='unet',
         )
 
@@ -133,9 +151,12 @@ class UNetAnnotator(nn.Module):
         if fmt == 'NCHW':
             x = jnp.transpose(x, (0, 3, 1, 2))
         x = self._body(fmt)(x, training=training, input_grad=input_grad)
+        if self.f32_head:
+            x = x.astype(jnp.float32)
         logits = blocks.Conv2DFast(
             features=1, kernel_size=(1, 1),
-            padding=blocks._canon_padding(self.padding), dtype=self.dtype,
+            padding=blocks._canon_padding(self.padding),
+            dtype=jnp.float32 if self.f32_head else self.dtype,
             data_format=fmt,
             name='last_conv',
         )(x)
