@@ -60,8 +60,15 @@ def _region_counts_single(y_true, y_pred, thresholds, iou_threshold,
     label_mask = y_true > 0.5
     lab_cc, n_lab = connected_components(label_mask)
 
-    pred_thr = y_pred[None, :, :] >= thresholds[:, None, None]  # [T,H,W]
-    pred_thr = morph_open(pred_thr.astype(jnp.int8), morph_filter_size) > 0
+    # Flat-structuring-element opening commutes with thresholding
+    # ({open_gray(f) >= t} == open_bin({f >= t}) exactly — min/max only,
+    # and the SAME-pad identities correspond: erosion pads +inf <-> border
+    # foreground, dilation -inf <-> background), so open the grayscale
+    # prediction ONCE instead of opening all T thresholded masks
+    # (reference applies binary opening per threshold,
+    # annotator/utils/metrics.py:134-137; same results, T=100x less work).
+    opened = morph_open(y_pred, morph_filter_size)
+    pred_thr = opened[None, :, :] >= thresholds[:, None, None]  # [T,H,W]
     pred_cc, n_pred = connected_components_batch(pred_thr)  # [T,H,W], [T]
 
     # One-hot region maps (region ids are 1..n; id 0 = background dropped).

@@ -380,3 +380,22 @@ def test_cca_pallas_padded_nonaligned_interpret(monkeypatch):
         assert counts[i] == n
         pairs = set(zip(ref.ravel().tolist(), labels[i].ravel().tolist()))
         assert len(pairs) == n + 1  # bijective region correspondence
+
+
+def test_grayscale_opening_commutes_with_thresholding():
+    '''The round-4 region-eval optimization (metrics/region.py): opening the
+    grayscale prediction once and thresholding equals opening each binary
+    thresholded mask (flat SE, SAME pad) — exactly, for every threshold.'''
+    import numpy as np
+    import jax.numpy as jnp
+    from dnncancerannotator_tpu.ops.morphology import morph_open
+
+    rng = np.random.RandomState(3)
+    pred = rng.rand(40, 40).astype(np.float32)
+    thresholds = np.linspace(0.005, 0.995, 25).astype(np.float32)
+    opened = np.asarray(morph_open(jnp.asarray(pred), 5))
+    for t in thresholds:
+        via_gray = opened >= t
+        via_binary = np.asarray(
+            morph_open(jnp.asarray((pred >= t).astype(np.int8)), 5)) > 0
+        np.testing.assert_array_equal(via_gray, via_binary, err_msg=f't={t}')
