@@ -36,6 +36,7 @@ _DEFAULTS = {
     'pallas_tconv': False,
     'pallas_pool': False,
     'flatchain_im2col': True,
+    'dec_level': False,
 }
 
 _ENV = {
@@ -44,6 +45,7 @@ _ENV = {
     'pallas_tconv': 'DNNCA_PTCONV',
     'pallas_pool': 'DNNCA_PPOOL',
     'flatchain_im2col': 'DNNCA_FLATCHAIN_IM2COL',
+    'dec_level': 'DNNCA_DECLEVEL',
 }
 
 
@@ -55,6 +57,7 @@ class KernelGates:
     pallas_tconv: Optional[bool] = None
     pallas_pool: Optional[bool] = None
     flatchain_im2col: Optional[bool] = None
+    dec_level: Optional[bool] = None
 
     @classmethod
     def from_deploy_options(cls, deploy):
