@@ -220,6 +220,24 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool = False, input_grad: bool = True):
+        # Whole-level fusion (ops/pallas/enclevel.py): both convs + the 2x2
+        # maxpool in ONE Pallas program, gated by deploy_options.enc_level
+        # (DNNCA_ENCLEVEL override). Same param tree as the unfused path.
+        if (self.data_format == 'NCHW' and not self.bn
+                and self.activation in ('relu', 'ReLU') and self.n_conv == 2
+                and self.conv_stride == 1 and isinstance(self.padding, str)
+                and _canon_padding(self.padding) == 'SAME'):
+            from ..ops.pallas import enclevel
+            if enclevel.enc_level_ok(
+                    x.shape, self.filters, self.kernel_size, self.rate,
+                    _canon_padding(self.padding), self.dtype):
+                from ..parallel import mesh as mesh_lib
+                k1, b1, k2, b2 = _ChainParams(
+                    filters=self.filters, kernel_size=self.kernel_size,
+                    name='convchain')(x.shape[1])
+                return enclevel.enc_level_nchw(
+                    x.astype(jnp.float32), k1, b1, k2, b2,
+                    input_grad, mesh_lib.pallas_interpret())
         conv = ConvChain(
             filters=self.filters, kernel_size=self.kernel_size,
             conv_stride=self.conv_stride, bn=self.bn, n_conv=self.n_conv,
@@ -238,9 +256,9 @@ class Downsample(nn.Module):
         return conv, pooled
 
 
-class _DecChainParams(nn.Module):
+class _ChainParams(nn.Module):
     '''Parameter holder producing the exact param tree of the ``convchain``
-    submodule (conv_0/conv_1 kernel+bias) for the fused decoder level.'''
+    submodule (conv_0/conv_1 kernel+bias) for the fused whole-level kernels.'''
     filters: int
     kernel_size: int
 
@@ -288,7 +306,7 @@ class Upsample(nn.Module):
                 wt, bt = fastconv._ConvParams(
                     self.filters, (self.rate, self.rate),
                     name='tconv')(x.shape[1])
-                k1, b1, k2, b2 = _DecChainParams(
+                k1, b1, k2, b2 = _ChainParams(
                     filters=self.filters, kernel_size=self.kernel_size,
                     name='convchain')(self.filters + spshape[1])
                 return declevel.dec_level_nchw(

@@ -37,6 +37,7 @@ _DEFAULTS = {
     'pallas_pool': False,
     'flatchain_im2col': True,
     'dec_level': False,
+    'enc_level': False,
 }
 
 _ENV = {
@@ -46,6 +47,7 @@ _ENV = {
     'pallas_pool': 'DNNCA_PPOOL',
     'flatchain_im2col': 'DNNCA_FLATCHAIN_IM2COL',
     'dec_level': 'DNNCA_DECLEVEL',
+    'enc_level': 'DNNCA_ENCLEVEL',
 }
 
 
@@ -58,6 +60,7 @@ class KernelGates:
     pallas_pool: Optional[bool] = None
     flatchain_im2col: Optional[bool] = None
     dec_level: Optional[bool] = None
+    enc_level: Optional[bool] = None
 
     @classmethod
     def from_deploy_options(cls, deploy):
