@@ -23,12 +23,13 @@ from jax import lax
 from dnncancerannotator_tpu.ops.pallas import enclevel
 
 
-def compose_reference(x, w1, b1, w2, b2):
+def compose_reference(x, w1, b1, w2, b2, precision=None):
     dn = ('NCHW', 'HWIO', 'NCHW')
 
     def conv(v, w, b):
         return lax.conv_general_dilated(
-            v, w, (1, 1), 'SAME', dimension_numbers=dn) \
+            v, w, (1, 1), 'SAME', dimension_numbers=dn,
+            precision=precision) \
             + b[None, :, None, None]
 
     c1 = jnp.maximum(conv(x, w1, b1), 0.0)
@@ -52,11 +53,24 @@ def main(b=8, ci=5, f=3, h=256, w=256, iters=50, input_grad=False):
         skip, pooled = compose_reference(*a)
         return jnp.sum(skip ** 2) + jnp.sum(pooled ** 3)
 
+    def loss_hi(*a):
+        skip, pooled = compose_reference(*a, precision=lax.Precision.HIGHEST)
+        return jnp.sum(skip ** 2) + jnp.sum(pooled ** 3)
+
     def loss_fused(*a):
         skip, pooled = enclevel.enc_level_nchw(*a, input_grad, False)
         return jnp.sum(skip ** 2) + jnp.sum(pooled ** 3)
 
     argnums = tuple(range(5)) if input_grad else tuple(range(1, 5))
+    oracle_path = '/tmp/enclevel_oracle.npz'
+    if '--make-oracle' in sys.argv:
+        # run on CPU with JAX_ENABLE_X64=1: exact f64 composed reference
+        a64 = tuple(v.astype(jnp.float64) for v in args)
+        vh, gvh = jax.value_and_grad(loss_hi, argnums=argnums)(*a64)
+        np.savez(oracle_path, loss=np.asarray(vh),
+                 **{f'g{i}': np.asarray(g) for i, g in enumerate(gvh)})
+        print('oracle written:', oracle_path, float(vh))
+        return
     gr = jax.jit(jax.value_and_grad(loss_ref, argnums=argnums))
     gf = jax.jit(jax.value_and_grad(loss_fused, argnums=argnums))
 
@@ -69,15 +83,31 @@ def main(b=8, ci=5, f=3, h=256, w=256, iters=50, input_grad=False):
     jax.block_until_ready(vf)
     print(f'fused compile+run {time.time()-t0:.1f}s')
 
-    print('loss rel err:', abs(float(vr) - float(vf)) / abs(float(vr)))
     names = (['dx'] if input_grad else []) + 'dw1 db1 dw2 db2'.split()
     ok = True
-    for a, bb, name in zip(gvr, gvf, names):
-        err = float(jnp.max(jnp.abs(a - bb)))
-        scale = float(jnp.max(jnp.abs(a))) + 1e-9
-        flag = 'OK' if err / scale < 1e-3 else 'FAIL'
-        ok &= flag == 'OK'
-        print(f'  {name}: maxabs {err:.3e} rel {err/scale:.2e} {flag}')
+    if os.path.exists(oracle_path):
+        o = np.load(oracle_path)
+        vh = float(o['loss'])
+        gvh = [o[f'g{i}'] for i in range(len(names))]
+        print('loss rel err fused-vs-f64:', abs(vh - float(vf)) / abs(vh))
+        print('loss rel err default-vs-f64:', abs(vh - float(vr)) / abs(vh))
+        for a, hi, bb, name in zip(gvr, gvh, gvf, names):
+            scale = float(np.max(np.abs(hi))) + 1e-9
+            errf = float(np.max(np.abs(hi - np.asarray(bb, np.float64)))) \
+                / scale
+            errd = float(np.max(np.abs(hi - np.asarray(a, np.float64)))) \
+                / scale
+            flag = 'OK' if errf < max(1e-3, 2 * errd) else 'FAIL'
+            ok &= flag == 'OK'
+            print(f'  {name}: rel-vs-f64 fused {errf:.2e} '
+                  f'default-XLA {errd:.2e} {flag}')
+    else:
+        print('no oracle file; fused-vs-default only')
+        print('loss rel err:', abs(float(vr) - float(vf)) / abs(float(vr)))
+        for a, bb, name in zip(gvr, gvf, names):
+            err = float(jnp.max(jnp.abs(a - bb)))
+            scale = float(jnp.max(jnp.abs(a))) + 1e-9
+            print(f'  {name}: maxabs {err:.3e} rel {err/scale:.2e}')
 
     def bench(fn, label):
         fn(*args)  # warm
