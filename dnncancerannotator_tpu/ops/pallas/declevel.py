@@ -501,9 +501,26 @@ def _spmd_mesh(b):
 
 def dec_level_ok(xshape, skipshape, filters, kernel_size, rate, padding,
                  dtype):
-    '''Static eligibility for the fused decoder level.'''
+    '''Static eligibility for the fused decoder level.
+
+    QUARANTINED on real TPU (round 4): the Mosaic-compiled backward
+    produces dx/dskip off by rel ~1.5e-1 at the production shape
+    (x [8,6,128,128]) while interpret mode matches the composed XLA path
+    to 5e-7 at the identical shape — a compile-level divergence, not
+    kernel math (tools/chip_declevel.py; RESULTS.md round 4). Since the
+    sibling enclevel kernel — numerically perfect on chip — still LOSES
+    21% in-model (fusion-barrier effect at level scale), fixing the
+    miscompile buys nothing; the kernel stays available for interpret
+    (CPU test) runs only.
+    '''
     from .. import gates
     if not gates.enabled('dec_level'):
+        return False
+    try:
+        from ...parallel import mesh as mesh_lib
+        if not mesh_lib.pallas_interpret():
+            return False
+    except Exception:
         return False
     if kernel_size != 3 or rate != 2 or padding != 'SAME':
         return False
