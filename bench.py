@@ -82,8 +82,11 @@ def measure_tpu():
     os.makedirs(tmpdir, exist_ok=True)
     paths = _synth_data(tmpdir)
     config = dict(CONFIG)
-    config['deploy_options'] = dict(CONFIG['deploy_options'],
-                                    steps_per_call=10)
+    # BENCH_SPC: A/B override for the device-loop chunk length (host
+    # dispatch ~4 ms amortizes over steps_per_call steps)
+    config['deploy_options'] = dict(
+        CONFIG['deploy_options'],
+        steps_per_call=int(os.environ.get('BENCH_SPC', '10')))
     ds = data_lib.train_ds(paths, **TRAIN_OPTS)
     eng = engine_lib.Engine(config)
 

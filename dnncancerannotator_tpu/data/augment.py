@@ -216,11 +216,124 @@ def parse_augment_options(augment_options: Dict[str, Any],
     return resolved
 
 
+_FUSED_PATTERN = ('random_crop', 'random_flip', 'random_contrast',
+                  'random_warp')
+
+
+def _fused_chain_eligible(methods):
+    '''The fused path handles exactly the production chain
+    crop -> flip -> contrast -> two_pass warp.'''
+    if tuple(n for n, _ in methods) != _FUSED_PATTERN:
+        return False
+    warp_o = methods[3][1]
+    return warp_o.get('method', 'two_pass') == 'two_pass'
+
+
+def _window_mean(images, off, th, tw):
+    '''Exact per-channel mean over the [oy:oy+th, ox:ox+tw] crop window of
+    each image — two prefix-sum passes plus per-image corner-band slices, so
+    the cropped image itself never materializes. f32 prefix-sum rounding at
+    these sizes (~7e4 running sums) perturbs the mean by ~1e-7 relative.'''
+    b, h, w, c = images.shape
+    csy = jnp.cumsum(images, axis=1)
+    csy = jnp.concatenate([jnp.zeros_like(csy[:, :1]), csy], axis=1)
+
+    def band(cs, oy):
+        top = jax.lax.dynamic_slice(cs, (oy, 0, 0), (1, w, c))
+        bot = jax.lax.dynamic_slice(cs, (oy + th, 0, 0), (1, w, c))
+        return (bot - top)[0]
+
+    rows = jax.vmap(band)(csy, off[:, 0])            # [B, W, C]
+    csx = jnp.cumsum(rows, axis=1)
+    csx = jnp.concatenate([jnp.zeros_like(csx[:, :1]), csx], axis=1)
+
+    def wsum(cs, ox):
+        lo = jax.lax.dynamic_slice(cs, (ox, 0), (1, c))
+        hi = jax.lax.dynamic_slice(cs, (ox + tw, 0), (1, c))
+        return (hi - lo)[0]
+
+    total = jax.vmap(wsum)(csx, off[:, 1])           # [B, C]
+    return total / float(th * tw)
+
+
+def _apply_fused_chain(images, key, methods):
+    '''One-shot crop+flip+contrast+warp (see build_augment_fn).
+
+    Random draws replicate the composed ops' key threading exactly (split
+    per op in chain order; per-element ops split again across the batch), so
+    fused and composed paths realize the same augmentation for the same key.
+    The composition identities:
+      - contrast commutes with the crop/flip selection and with the convex
+        bilinear resample exactly, given the crop-window mean -> applied to
+        the full window up front (fuses into the normalize pass);
+      - crop-then-flip == flip-the-window-then-crop at the mirrored offset
+        ``w_in - w_out - ox`` -> one reverse-select, no second materialize;
+      - the crop's integer offsets ride the Pallas resample's dynamic slice
+        bases (ops/warp.py:sparse_image_warp_cropped).
+    '''
+    crop_o, flip_o, con_o, warp_o = (dict(o or {}) for _, o in methods)
+    del flip_o
+    b, h_in, w_in, c = images.shape
+    th, tw = crop_o['output_size']
+    stddev = crop_o.get('stddev', 4)
+    mx, mn = int(crop_o.get('max_', 6)), int(crop_o.get('min_', -6))
+
+    keys = jax.random.split(key, 4)
+    diff = jnp.clip(
+        (jax.random.normal(keys[0], [b, 2]) * stddev).astype(jnp.int32),
+        mn, mx)
+    base = jnp.array([(h_in - th) // 2, (w_in - tw) // 2], jnp.int32)
+    off = jnp.clip(base[None, :] + diff, 0,
+                   jnp.array([h_in - th, w_in - tw], jnp.int32))
+    flip = jax.vmap(lambda k: jax.random.bernoulli(k))(
+        jax.random.split(keys[1], b))
+    lower = con_o.get('lower', 0.8)
+    upper = con_o.get('upper', 1.2)
+    factors = jax.vmap(
+        lambda k: jax.random.uniform(k, (), minval=lower, maxval=upper))(
+            jax.random.split(keys[2], b))
+    src, dst = _warp_points(
+        keys[3], b, warp_o.get('n_points', 100), tw,
+        warp_o.get('stddev', 2.0), warp_o.get('max_diff', 5))
+
+    means = _window_mean(images, off, th, tw)
+    tmask = jnp.zeros((c,), bool).at[
+        jnp.asarray(con_o['target_channels'])].set(True)
+    m = means[:, None, None, :]
+    adjusted = (images - m) * factors[:, None, None, None] + m
+    images = jnp.where(tmask[None, None, None, :], adjusted, images)
+
+    images = jnp.where(flip[:, None, None, None],
+                       images[:, :, ::-1, :], images)
+    ox = jnp.where(flip, (w_in - tw) - off[:, 1], off[:, 1])
+    off_eff = jnp.stack([off[:, 0], ox], axis=1).astype(jnp.int32)
+
+    max_diff = warp_o.get('max_diff', 5)
+    return warp_ops.sparse_image_warp_cropped(
+        images, src, dst, off_eff, out_size=(th, tw),
+        max_displacement=int(np.ceil(max_diff)) + 3, clamp_flow=True,
+        flow_grid_stride=warp_o.get('flow_grid_stride', 4))
+
+
 def build_augment_fn(methods):
     '''Compose an ordered [(name, options)] list into one batched transform
-    ``fn(images [B,H,W,C] float, key) -> images``. jit-safe.'''
+    ``fn(images [B,H,W,C] float, key) -> images``. jit-safe.
+
+    When the list is exactly the production chain (crop, flip, contrast,
+    two-pass warp), the ``fused_aug`` kernel gate routes it through one
+    crop-fused Pallas resample instead of four materialized stages — same
+    draws, same semantics (see _apply_fused_chain).'''
 
     def apply_all(images, key):
+        if _fused_chain_eligible(methods):
+            from ..ops import gates as gates_lib
+            crop_o = methods[0][1]
+            th, tw = crop_o['output_size']
+            md = int(np.ceil(methods[3][1].get('max_diff', 5))) + 3
+            if (gates_lib.enabled('fused_aug')
+                    and warp_ops.fused_crop_warp_ok(
+                        images.shape, (th, tw), md)):
+                return _apply_fused_chain(images, key, methods)
         keys = jax.random.split(key, max(len(methods), 1))
         for (name, options), op_key in zip(methods, keys):
             if name in _BATCH:

@@ -38,6 +38,7 @@ _DEFAULTS = {
     'flatchain_im2col': True,
     'dec_level': False,
     'enc_level': False,
+    'fused_aug': False,
 }
 
 _ENV = {
@@ -48,6 +49,7 @@ _ENV = {
     'flatchain_im2col': 'DNNCA_FLATCHAIN_IM2COL',
     'dec_level': 'DNNCA_DECLEVEL',
     'enc_level': 'DNNCA_ENCLEVEL',
+    'fused_aug': 'DNNCA_FUSEDAUG',
 }
 
 
@@ -61,6 +63,7 @@ class KernelGates:
     flatchain_im2col: Optional[bool] = None
     dec_level: Optional[bool] = None
     enc_level: Optional[bool] = None
+    fused_aug: Optional[bool] = None
 
     @classmethod
     def from_deploy_options(cls, deploy):

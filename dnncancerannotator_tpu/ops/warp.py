@@ -270,6 +270,122 @@ def sparse_image_warp(image, source_control_points, dest_control_points,
     return dense_image_warp(image, flow)
 
 
+def _upsample_plane(fl, h, w, stride):
+    '''Bilinearly upsample one coarse flow component [B, Hc, Wc] -> [B,h,w].'''
+    hc, wc = fl.shape[1], fl.shape[2]
+    my = _interp_matrix(h, stride, hc)
+    mx = _interp_matrix(w, stride, wc)
+    fl = jnp.einsum('yh,bhw->byw', my, fl,
+                    preferred_element_type=jnp.float32)
+    return jnp.einsum('xw,byw->byx', mx, fl,
+                      preferred_element_type=jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=('out_size', 'regularization', 'max_displacement',
+                              'clamp_flow', 'flow_grid_stride'))
+def sparse_image_warp_cropped(image, source_control_points,
+                              dest_control_points, crop_offset, out_size,
+                              regularization=0.0, max_displacement=8,
+                              clamp_flow=True, flow_grid_stride=4):
+    '''Jittered-crop-fused sparse warp: equivalent to cropping ``image`` at
+    per-image integer ``crop_offset`` to ``out_size`` and then applying
+    ``sparse_image_warp(method='two_pass')``, but the cropped intermediate
+    never materializes — the crop rides the Pallas resample's dynamic slice
+    bases (ops/pallas/warp_kernel.py:_kernel_crop).
+
+    Control points are in the CROP frame (the frame the composed chain
+    random_crop -> random_warp draws them in, reference data.py:677-763).
+    At ``flow_grid_stride=1`` the realized flow matches the composed path
+    bit-near-exactly; at stride>1 both paths approximate the same exact
+    spline within the documented sub-0.15 px interpolation bound (their
+    coarse grids differ by the per-image crop shift mod stride).
+
+    Args:
+        image: [B, h_in, w_in, C] uncropped window.
+        crop_offset: [B, 2] int32 (oy, ox) with 0 <= off <= in - out.
+        out_size: static (h_out, w_out).
+    '''
+    image = image.astype(jnp.float32)
+    b, h_in, w_in, _ = image.shape
+    h_out, w_out = out_size
+    stride = int(flow_grid_stride)
+    d = float(max_displacement)
+
+    values = (dest_control_points - source_control_points).astype(jnp.float32)
+    scale = 1.0 / float(max(h_out, w_out))   # crop frame, as the composed path
+
+    hc = -(-(h_out - 1) // stride) + 1
+    wc = -(-(w_out - 1) // stride) + 1
+    wce = -(-(w_in - 1) // stride) + 1
+    # extended grid: original-column coords j; per-image crop-x = j - ox
+    gy_e = jax.lax.broadcasted_iota(jnp.float32, (hc, wce), 0) * stride
+    gx_e = jax.lax.broadcasted_iota(jnp.float32, (hc, wce), 1) * stride
+    # crop-frame grid for the horizontal-pass flow (static, shared)
+    gy_c = jax.lax.broadcasted_iota(jnp.float32, (hc, wc), 0) * stride
+    gx_c = jax.lax.broadcasted_iota(jnp.float32, (hc, wc), 1) * stride
+
+    def flow_one(train_pts, train_vals, ox):
+        tp = train_pts.astype(jnp.float32) * scale
+        wgt, v = _solve_spline(tp, train_vals, regularization)
+        # E1: both components on the ox-shifted extended grid
+        q_e = jnp.stack(
+            [gy_e.reshape(-1), (gx_e - ox).reshape(-1)], axis=-1) * scale
+        fl_e = _evaluate_spline(q_e, tp, wgt, v).reshape(hc, wce, 2)
+        if clamp_flow:
+            fl_e = jnp.clip(fl_e, -d, d)
+        # E2: two-pass composition correction (fy at the source column),
+        # same construction as sparse_image_warp's flow_one
+        q2 = jnp.stack(
+            [gy_e.reshape(-1),
+             (gx_e - ox + fl_e[..., 1]).reshape(-1)], axis=-1) * scale
+        fy = _evaluate_spline(q2, tp, wgt, v)[:, 0].reshape(hc, wce)
+        # E3: fx on the crop grid (what the horizontal pass consumes)
+        q_c = jnp.stack(
+            [gy_c.reshape(-1), gx_c.reshape(-1)], axis=-1) * scale
+        fx = _evaluate_spline(q_c, tp, wgt, v)[:, 1].reshape(hc, wc)
+        if clamp_flow:
+            fx = jnp.clip(fx, -d, d)
+        return fy, fx
+
+    fy, fx = jax.vmap(flow_one)(
+        dest_control_points, values,
+        crop_offset[:, 1].astype(jnp.float32))
+    if stride > 1:
+        fy = _upsample_plane(fy, h_out, w_in, stride)
+        fx = _upsample_plane(fx, h_out, w_out, stride)
+
+    from .pallas.warp_kernel import dense_image_warp_crop_pallas
+    fn = functools.partial(
+        dense_image_warp_crop_pallas, out_size=tuple(out_size),
+        max_displacement=int(max_displacement),
+        interpret=mesh_lib.pallas_interpret())
+    mesh = mesh_lib.spmd_batch_mesh(b)
+    if mesh is not None and jax.device_count() != 1:
+        from jax.sharding import PartitionSpec as P
+        fn = jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P('data'), P('data'), P('data'), P('data')),
+            out_specs=P('data'), check_vma=False)
+    return fn(image, fy, fx, crop_offset)
+
+
+def fused_crop_warp_ok(in_shape, out_size, max_displacement):
+    '''Eligibility of the crop-fused Pallas resample: single TPU device or
+    shard_mapped over the announced SPMD mesh; CPU only under interpret-mode
+    testing; VMEM footprint within budget.'''
+    try:
+        if jax.default_backend() == 'cpu' and not mesh_lib.pallas_interpret():
+            return False
+        if (jax.device_count() != 1
+                and mesh_lib.spmd_batch_mesh(in_shape[0]) is None):
+            return False
+        from .pallas.warp_kernel import supported_crop
+        return supported_crop(in_shape, out_size, max_displacement)
+    except Exception:
+        return False
+
+
 def _pallas_resample_ok(shape, max_displacement):
     '''Use the fused Pallas resample on a single TPU device or shard_mapped
     over the engine-announced SPMD mesh; fall back to the XLA select path
