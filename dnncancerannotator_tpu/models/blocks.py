@@ -220,24 +220,11 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool = False, input_grad: bool = True):
-        # Whole-level fusion (ops/pallas/enclevel.py): both convs + the 2x2
-        # maxpool in ONE Pallas program, gated by deploy_options.enc_level
-        # (DNNCA_ENCLEVEL override). Same param tree as the unfused path.
-        if (self.data_format == 'NCHW' and not self.bn
-                and self.activation in ('relu', 'ReLU') and self.n_conv == 2
-                and self.conv_stride == 1 and isinstance(self.padding, str)
-                and _canon_padding(self.padding) == 'SAME'):
-            from ..ops.pallas import enclevel
-            if enclevel.enc_level_ok(
-                    x.shape, self.filters, self.kernel_size, self.rate,
-                    _canon_padding(self.padding), self.dtype):
-                from ..parallel import mesh as mesh_lib
-                k1, b1, k2, b2 = _ChainParams(
-                    filters=self.filters, kernel_size=self.kernel_size,
-                    name='convchain')(x.shape[1])
-                return enclevel.enc_level_nchw(
-                    x.astype(jnp.float32), k1, b1, k2, b2,
-                    input_grad, mesh_lib.pallas_interpret())
+        # NOTE: a fused whole-level Pallas kernel (convs + pool in one
+        # program) was built and measured NEGATIVE in-model (-21%,
+        # fusion-barrier effect at level scale; RESULTS.md round 4) and
+        # removed in round 5 — see git history e452fa9 and the Mosaic
+        # miscompile repro tools/evidence/mosaic_declevel_repro.py.
         conv = ConvChain(
             filters=self.filters, kernel_size=self.kernel_size,
             conv_stride=self.conv_stride, bn=self.bn, n_conv=self.n_conv,
@@ -256,21 +243,6 @@ class Downsample(nn.Module):
         return conv, pooled
 
 
-class _ChainParams(nn.Module):
-    '''Parameter holder producing the exact param tree of the ``convchain``
-    submodule (conv_0/conv_1 kernel+bias) for the fused whole-level kernels.'''
-    filters: int
-    kernel_size: int
-
-    @nn.compact
-    def __call__(self, ci):
-        ks = (self.kernel_size, self.kernel_size)
-        k1, b1 = fastconv._ConvParams(self.filters, ks, name='conv_0')(ci)
-        k2, b2 = fastconv._ConvParams(self.filters, ks,
-                                      name='conv_1')(self.filters)
-        return k1, b1, k2, b2
-
-
 class Upsample(nn.Module):
     '''Upsampling block: tconv -> center-crop skip -> concat -> conv chain.'''
     filters: int
@@ -286,32 +258,6 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x, reference, training: bool = False):
-        # Whole-level fusion (ops/pallas/declevel.py): tconv + skip-concat +
-        # both convs in ONE Pallas program, gated by deploy_options.dec_level
-        # (DNNCA_DECLEVEL override). Same param tree as the unfused path.
-        if (self.data_format == 'NCHW' and not self.bn
-                and self.activation in ('relu', 'ReLU') and self.n_conv == 2
-                and self.conv_stride == 1 and isinstance(self.padding, str)
-                and _canon_padding(self.padding) == 'SAME'):
-            from ..ops.pallas import declevel
-            th, tw = 2 * x.shape[2], 2 * x.shape[3]
-            spshape = (x.shape[0], reference.shape[1], th, tw)
-            if (reference.shape[2] >= th and reference.shape[3] >= tw
-                    and declevel.dec_level_ok(
-                        x.shape, spshape, self.filters, self.kernel_size,
-                        self.rate, _canon_padding(self.padding), self.dtype)):
-                from ..parallel import mesh as mesh_lib
-                cropped = center_crop_to(reference, th, tw,
-                                         data_format='NCHW')
-                wt, bt = fastconv._ConvParams(
-                    self.filters, (self.rate, self.rate),
-                    name='tconv')(x.shape[1])
-                k1, b1, k2, b2 = _ChainParams(
-                    filters=self.filters, kernel_size=self.kernel_size,
-                    name='convchain')(self.filters + spshape[1])
-                return declevel.dec_level_nchw(
-                    x.astype(jnp.float32), cropped.astype(jnp.float32),
-                    wt, bt, k1, b1, k2, b2, mesh_lib.pallas_interpret())
         up = ConvTranspose2DFast(
             features=self.filters,
             kernel_size=(self.rate, self.rate),

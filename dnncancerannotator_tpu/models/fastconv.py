@@ -65,6 +65,9 @@ def _pallas_conv_ok(xshape, wshape, nchw=False, bwd=False):
     the ``data`` axis; fall back to the XLA stencil on CPU (unless the
     interpret-mode test override is set) and under spatial partitioning.'''
     try:
+        from ..ops import gates
+        if gates.forced_off():
+            return False
         if jax.default_backend() == 'cpu' and not mesh_lib.pallas_interpret():
             return False
         if nchw:
@@ -504,6 +507,9 @@ def flat_chain_ok(xshape, kernel_size, filters, padding, dtype):
 def chain_pallas_ok(xshape, kernel_size, filters, padding):
     '''Static (trace-time) eligibility of the fused NCHW chain kernel.'''
     try:
+        from ..ops import gates
+        if gates.forced_off():
+            return False
         if jax.default_backend() == 'cpu' and not mesh_lib.pallas_interpret():
             return False
         b, ci, h, w = xshape

@@ -110,6 +110,9 @@ def _pallas_cca_ok(shape):
     computation to one chip (mesh_lib.pallas_single_device — the region
     metrics path does).'''
     try:
+        from . import gates
+        if gates.forced_off():
+            return False
         from ..parallel import mesh as mesh_lib
         n, h, w = shape
         if jax.default_backend() == 'cpu' and not mesh_lib.pallas_interpret():

@@ -36,8 +36,6 @@ _DEFAULTS = {
     'pallas_tconv': False,
     'pallas_pool': False,
     'flatchain_im2col': True,
-    'dec_level': False,
-    'enc_level': False,
     'fused_aug': False,
 }
 
@@ -47,8 +45,6 @@ _ENV = {
     'pallas_tconv': 'DNNCA_PTCONV',
     'pallas_pool': 'DNNCA_PPOOL',
     'flatchain_im2col': 'DNNCA_FLATCHAIN_IM2COL',
-    'dec_level': 'DNNCA_DECLEVEL',
-    'enc_level': 'DNNCA_ENCLEVEL',
     'fused_aug': 'DNNCA_FUSEDAUG',
 }
 
@@ -61,8 +57,6 @@ class KernelGates:
     pallas_tconv: Optional[bool] = None
     pallas_pool: Optional[bool] = None
     flatchain_im2col: Optional[bool] = None
-    dec_level: Optional[bool] = None
-    enc_level: Optional[bool] = None
     fused_aug: Optional[bool] = None
 
     @classmethod
@@ -75,6 +69,9 @@ class KernelGates:
 _active: contextvars.ContextVar = contextvars.ContextVar(
     'dnnca_kernel_gates', default=None)
 
+_force_off: contextvars.ContextVar = contextvars.ContextVar(
+    'dnnca_kernel_gates_force_off', default=False)
+
 
 @contextlib.contextmanager
 def active(gates):
@@ -86,8 +83,35 @@ def active(gates):
         _active.reset(token)
 
 
+@contextlib.contextmanager
+def pure_xla():
+    '''Force EVERY kernel gate off within the block — beats env overrides.
+
+    Used where a trace must contain no ``pallas_call`` at all: serving
+    export (runs/export.py) lowers one StableHLO artifact for several
+    platforms, and a captured Mosaic kernel makes the CPU lowering
+    unloadable (``Only interpret mode is supported on CPU backend``).
+    '''
+    token = _force_off.set(True)
+    try:
+        yield
+    finally:
+        _force_off.reset(token)
+
+
+def forced_off():
+    '''True inside a ``pure_xla()`` block. Ungated (always-on) Pallas
+    routes — the legacy stencil conv/chain, CCA, warp resample — must
+    consult this in their eligibility checks, since they predate the
+    named gates.'''
+    return bool(_force_off.get())
+
+
 def enabled(name):
-    '''Resolve one gate: env override > active context > default.'''
+    '''Resolve one gate: pure_xla force-off > env override > context >
+    default.'''
+    if _force_off.get():
+        return False
     env = os.environ.get(_ENV[name])
     if env is not None and env != '':
         return env not in ('0', 'false', 'False')

@@ -375,6 +375,9 @@ def fused_crop_warp_ok(in_shape, out_size, max_displacement):
     shard_mapped over the announced SPMD mesh; CPU only under interpret-mode
     testing; VMEM footprint within budget.'''
     try:
+        from . import gates
+        if gates.forced_off():
+            return False
         if jax.default_backend() == 'cpu' and not mesh_lib.pallas_interpret():
             return False
         if (jax.device_count() != 1
@@ -391,6 +394,9 @@ def _pallas_resample_ok(shape, max_displacement):
     over the engine-announced SPMD mesh; fall back to the XLA select path
     on CPU (unless interpret-mode testing) and under spatial partitioning.'''
     try:
+        from . import gates
+        if gates.forced_off():
+            return False
         if jax.default_backend() == 'cpu' and not mesh_lib.pallas_interpret():
             return False
         if (jax.device_count() != 1

@@ -24,6 +24,7 @@ import os
 import numpy as np
 
 from .. import engine as engine_lib
+from ..ops import gates
 from ..utils import config as config_lib
 
 logger = logging.getLogger(__name__)
@@ -101,8 +102,13 @@ def export_model(
         bdim = jexport.symbolic_shape('b')[0]
     spec = jax.ShapeDtypeStruct((bdim, int(h), int(w), n_features),
                                 np.uint8)
-    exported = jexport.export(
-        jax.jit(infer), platforms=list(platforms))(spec)
+    # Force every Pallas kernel gate off for the export trace: the
+    # artifact must lower for ALL requested platforms, and a captured
+    # Mosaic (TPU) kernel makes the CPU lowering unloadable
+    # ("Only interpret mode is supported on CPU backend").
+    with gates.pure_xla():
+        exported = jexport.export(
+            jax.jit(infer), platforms=list(platforms))(spec)
 
     shlo_path = f'{output_path}.shlo'
     os.makedirs(os.path.dirname(os.path.abspath(shlo_path)), exist_ok=True)

@@ -79,17 +79,24 @@ def test_export_roundtrip_matches_live_engine(trained_run, tmp_path):
     # symbolic batch: same artifact serves another batch size
     assert np.asarray(fn(np.repeat(x, 3, axis=0))).shape == (6, 32, 32, 1)
 
-    # parity vs the live engine forward on identical inputs
+    # parity vs the live engine forward on identical inputs. The artifact
+    # is by design a pure-XLA graph (no Pallas kernels — it must lower for
+    # every target platform), so the live reference is computed under the
+    # same gates.pure_xla() regime; Pallas-vs-XLA numeric deltas are
+    # covered by the per-kernel parity suites, not here.
+    from dnncancerannotator_tpu.ops import gates
     cfg = config_lib.load_config(
         os.path.join(trained_run, 'options.yaml'))['config']
     eng = engine_lib.Engine(cfg)
     eng.build((2, 32, 32, 5))
     ckpts = eng.get_ckpts(os.path.join(trained_run, 'checkpoints'))
     eng.load(ckpts[max(ckpts)])
-    ref = np.asarray(jax.nn.sigmoid(eng.model.apply(
-        {'params': eng.state['params']}, x.astype(np.float32) / 255.0,
-        training=False, return_logits=True)))
-    np.testing.assert_allclose(probs, ref, atol=1e-6)
+    with gates.pure_xla():
+        ref = np.asarray(jax.nn.sigmoid(jax.jit(
+            lambda v: eng.model.apply(
+                {'params': eng.state['params']}, v, training=False,
+                return_logits=True))(x.astype(np.float32) / 255.0)))
+    np.testing.assert_allclose(probs, ref, atol=1e-5)
 
 
 def test_export_fixed_batch_rejects_other_sizes(trained_run, tmp_path):
