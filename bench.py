@@ -84,9 +84,14 @@ def measure_tpu():
     config = dict(CONFIG)
     # BENCH_SPC: A/B override for the device-loop chunk length (host
     # dispatch ~4 ms amortizes over steps_per_call steps)
+    spc = int(os.environ.get('BENCH_SPC', '10'))
+    # The differential legs (STEPS//4 and STEPS) must be whole chunks:
+    # a remainder chunk adds a dispatch/compile asymmetry between the
+    # short and long timings that biases the subtracted rate.
+    assert STEPS % (4 * spc) == 0, (
+        f'BENCH_SPC={spc} must divide STEPS//4={STEPS // 4}')
     config['deploy_options'] = dict(
-        CONFIG['deploy_options'],
-        steps_per_call=int(os.environ.get('BENCH_SPC', '10')))
+        CONFIG['deploy_options'], steps_per_call=spc)
     ds = data_lib.train_ds(paths, **TRAIN_OPTS)
     eng = engine_lib.Engine(config)
 

@@ -210,7 +210,7 @@ def parse_augment_options(augment_options: Dict[str, Any],
             merged['output_size'] = tuple(merged['output_size'])
         if 'paired' in merged:
             merged['paired'] = tuple(map(tuple, merged['paired']))
-        if 'target_channels' in merged:
+        if merged.get('target_channels') is not None:
             merged['target_channels'] = tuple(merged['target_channels'])
         resolved.append((name, merged))
     return resolved
@@ -224,6 +224,11 @@ def _fused_chain_eligible(methods):
     '''The fused path handles exactly the production chain
     crop -> flip -> contrast -> two_pass warp.'''
     if tuple(n for n, _ in methods) != _FUSED_PATTERN:
+        return False
+    # The fused contrast stage builds a channel mask from target_channels;
+    # None (= adjust ALL channels, incl. the label lane riding along) and
+    # empty sequences stay on the composed path.
+    if not (methods[2][1] or {}).get('target_channels'):
         return False
     warp_o = methods[3][1]
     return warp_o.get('method', 'two_pass') == 'two_pass'
@@ -256,24 +261,16 @@ def _window_mean(images, off, th, tw):
     return total / float(th * tw)
 
 
-def _apply_fused_chain(images, key, methods):
-    '''One-shot crop+flip+contrast+warp (see build_augment_fn).
-
-    Random draws replicate the composed ops' key threading exactly (split
-    per op in chain order; per-element ops split again across the batch), so
-    fused and composed paths realize the same augmentation for the same key.
-    The composition identities:
-      - contrast commutes with the crop/flip selection and with the convex
-        bilinear resample exactly, given the crop-window mean -> applied to
-        the full window up front (fuses into the normalize pass);
-      - crop-then-flip == flip-the-window-then-crop at the mirrored offset
-        ``w_in - w_out - ox`` -> one reverse-select, no second materialize;
-      - the crop's integer offsets ride the Pallas resample's dynamic slice
-        bases (ops/warp.py:sparse_image_warp_cropped).
-    '''
-    crop_o, flip_o, con_o, warp_o = (dict(o or {}) for _, o in methods)
-    del flip_o
-    b, h_in, w_in, c = images.shape
+def _chain_draws(images_shape, key, methods):
+    '''Realize the production chain's random draws for one batch/key:
+    (crop offsets [B,2] i32, flips [B] bool, contrast factors [B],
+    warp src/dst [B,N,2]). Replicates the composed ops' key threading
+    exactly (split per op in chain order; per-element ops split again
+    across the batch), so fused and composed paths — and the f64 oracle
+    in tools/chip_fusedaug_parity.py — realize the same augmentation for
+    the same key.'''
+    crop_o, _flip_o, con_o, warp_o = (dict(o or {}) for _, o in methods)
+    b, h_in, w_in = images_shape[0], images_shape[1], images_shape[2]
     th, tw = crop_o['output_size']
     stddev = crop_o.get('stddev', 4)
     mx, mn = int(crop_o.get('max_', 6)), int(crop_o.get('min_', -6))
@@ -295,6 +292,27 @@ def _apply_fused_chain(images, key, methods):
     src, dst = _warp_points(
         keys[3], b, warp_o.get('n_points', 100), tw,
         warp_o.get('stddev', 2.0), warp_o.get('max_diff', 5))
+    return off, flip, factors, src, dst
+
+
+def _apply_fused_chain(images, key, methods):
+    '''One-shot crop+flip+contrast+warp (see build_augment_fn).
+
+    Random draws come from _chain_draws (identical to the composed ops').
+    The composition identities:
+      - contrast commutes with the crop/flip selection and with the convex
+        bilinear resample exactly, given the crop-window mean -> applied to
+        the full window up front (fuses into the normalize pass);
+      - crop-then-flip == flip-the-window-then-crop at the mirrored offset
+        ``w_in - w_out - ox`` -> one reverse-select, no second materialize;
+      - the crop's integer offsets ride the Pallas resample's dynamic slice
+        bases (ops/warp.py:sparse_image_warp_cropped).
+    '''
+    crop_o, flip_o, con_o, warp_o = (dict(o or {}) for _, o in methods)
+    del flip_o
+    b, h_in, w_in, c = images.shape
+    th, tw = crop_o['output_size']
+    off, flip, factors, src, dst = _chain_draws(images.shape, key, methods)
 
     means = _window_mean(images, off, th, tw)
     tmask = jnp.zeros((c,), bool).at[

@@ -8,7 +8,12 @@ run() {
   echo "=== $* ==="
   env "$@" timeout 1700 python bench.py 2>/dev/null
 }
+# On-device parity first: a throughput win is meaningless if Mosaic
+# miscompiles the fused kernel (CLAUDE.md flags its construct classes);
+# abort the A/B when fused vs composed outputs diverge on this chip.
+timeout 900 python tools/chip_fusedaug_parity.py || exit 1
+# SPC values must divide bench.py's short leg (STEPS/4 = 100).
 run DNNCA_FUSEDAUG=0 BENCH_SPC=10
 run DNNCA_FUSEDAUG=1 BENCH_SPC=10
-run DNNCA_FUSEDAUG=1 BENCH_SPC=40
-run DNNCA_FUSEDAUG=0 BENCH_SPC=40
+run DNNCA_FUSEDAUG=1 BENCH_SPC=25
+run DNNCA_FUSEDAUG=0 BENCH_SPC=25
