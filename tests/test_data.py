@@ -158,6 +158,34 @@ def test_augment_chain_shapes():
     assert label.shape == (2, 32, 32)
 
 
+def test_random_hue_rejected_at_parse():
+    '''random_hue is a deliberate exclusion (PARITY.md): the reference's
+    tf.image.random_hue needs RGB, but its data is 5-channel grayscale —
+    the key is accepted but rejected at parse time with a clear error
+    (reference data.py:612-618 would itself crash inside rgb_to_hsv).'''
+    with pytest.raises(NotImplementedError, match='RGB'):
+        augment.parse_augment_options(
+            {'random_crop': None, 'random_hue': {'max_delta': 0.2}},
+            util_synth.SLICE_TYPES, output_size=(32, 32))
+
+
+def test_contrast_target_channels_none_adjusts_all():
+    '''target_channels: None means adjust ALL channels (adjust_contrast
+    semantics) and must stay on the composed path (the fused kernel
+    builds an index mask); parse must not crash on the None.'''
+    import jax
+    methods = augment.parse_augment_options(
+        {'random_crop': None, 'random_flip': None,
+         'random_contrast': {'target_channels': None},
+         'random_warp': {'n_points': 10}},
+        util_synth.SLICE_TYPES, output_size=(32, 32))
+    assert methods[2][1]['target_channels'] is None
+    assert not augment._fused_chain_eligible(methods)
+    fn = jax.jit(augment.build_augment_fn(methods))
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 48, 48, 6))
+    assert fn(x, jax.random.PRNGKey(1)).shape == (2, 32, 32, 6)
+
+
 def test_crop_select_and_gather_paths_agree():
     '''Both crop strategies must produce identical pixels for the same key,
     and a wide jitter window (random_crop not first, full-size input) must
