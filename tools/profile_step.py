@@ -74,6 +74,8 @@ def main():
     p.add_argument('--dump-hlo', default=None,
                    help='write the optimized train-step HLO to this path')
     p.add_argument('--batch', type=int, default=8)
+    p.add_argument('--copies', action='store_true',
+                   help='per-copy accounting (shape/bytes need --dump-hlo)')
     args = p.parse_args()
 
     import jax
@@ -185,6 +187,44 @@ def main():
     for name, (cnt, dur, detail) in sorted(
             inst.items(), key=lambda kv: -kv[1][1])[:args.top]:
         print(f'{name[:36]:36s} {cnt:5d} {dur:9.1f}  {detail}')
+
+    if args.copies:
+        _copy_accounting(inst, args)
+
+
+def _copy_accounting(inst, args):
+    '''Per-copy accounting (VERDICT r4 #4): every copy/transpose/bitcast
+    instance with its device time and, when --dump-hlo was given, its
+    shape and bytes from the optimized HLO text.'''
+    import re
+    shapes = {}
+    if args.dump_hlo and os.path.exists(args.dump_hlo):
+        pat = re.compile(
+            r'%?([\w.-]+) = ([a-z0-9]+)\[([0-9,]*)\][^=]*? '
+            r'(copy|transpose|bitcast)\(')
+        for m in pat.finditer(open(args.dump_hlo).read()):
+            name, dtype, dims, _ = m.groups()
+            n = 1
+            for d in dims.split(','):
+                if d:
+                    n *= int(d)
+            bits = int(re.sub('[a-z]', '', dtype) or 32)
+            shapes[name] = (f'{dtype}[{dims}]', n * bits // 8)
+    rows = [(name, cnt, dur) for name, (cnt, dur, _) in inst.items()
+            if name.split('.')[0] in ('copy', 'transpose', 'bitcast',
+                                      'copy-start', 'copy-done')]
+    rows.sort(key=lambda r: -r[2])
+    tot = sum(r[2] for r in rows)
+    print(f'\n== copy bucket: {len(rows)} instances, {tot:.1f} us total '
+          f'({tot / args.steps:.1f} us/step) ==')
+    print(f'{"instance":24s} {"count":>5s} {"us":>8s} {"us/step":>8s} '
+          f'{"shape":>24s} {"MB":>7s} {"GB/s":>7s}')
+    for name, cnt, dur in rows:
+        shape, nbytes = shapes.get(name, ('?', 0))
+        bw = (2 * nbytes * cnt / 1e9) / (dur / 1e6) if dur and nbytes else 0
+        print(f'{name[:24]:24s} {cnt:5d} {dur:8.1f} '
+              f'{dur / args.steps:8.2f} {shape[:24]:>24s} '
+              f'{nbytes / 1e6:7.2f} {bw:7.0f}')
 
 
 if __name__ == '__main__':
