@@ -151,6 +151,78 @@ def random_warp_batch(images, key, n_points=100, max_diff=5, stddev=2.0,
         flow_grid_stride=flow_grid_stride if method == 'two_pass' else 1)
 
 
+def build_warp_bank(key, n_bank, out_size, n_points=100, max_diff=5,
+                    stddev=2.0, process_in_batch=None, method='two_pass',
+                    flow_grid_stride=4, chunk=8):
+    '''Precompute a bank of ``n_bank`` coarse warp-flow fields.
+
+    The ``warp_bank`` kernel gate (RESULTS.md round 5): random_warp's
+    per-step device cost is dominated by the TPS solve (f32[B,103,103]
+    batched LU + trsm — inherently serial; the batched hoist across scan
+    steps was refuted, RESULTS.md round 5) plus three kernel-matrix
+    evaluations. None of that work depends on the images — only on the
+    random control points — so a bank of flow fields can be solved ONCE at
+    engine start and each train step gathers B random fields instead
+    (random_warp_batch_banked), applying random mirror symmetries for 4x
+    effective diversity. The control-point distribution (uniform locations,
+    isotropic clipped-Gaussian displacements; reference data.py:718-763) is
+    mirror-invariant, so flipped fields are exactly in-distribution.
+
+    Semantics: warps are drawn from ``4 * n_bank`` effective fields instead
+    of fresh per step — a distribution approximation of the reference's
+    per-sample warp (data.py:628-644), gated OFF by default; flipping the
+    default requires the accuracy evidence protocol (cf. BF16_DRIFT.md).
+
+    Draw distribution matches ``random_warp_batch`` exactly (_warp_points
+    with size = crop width); solves run in ``chunk``-sized batches because
+    XLA:TPU's batched LU scales super-linearly in batch (RESULTS round 5).
+    '''
+    del process_in_batch
+    if method != 'two_pass':
+        raise ValueError('warp_bank requires the two_pass warp method')
+    th, tw = int(out_size[0]), int(out_size[1])
+    md = int(np.ceil(max_diff)) + 3
+    chunk = max(1, int(chunk))
+    n_chunks = -(-int(n_bank) // chunk)
+    n_pad = n_chunks * chunk
+    src, dst = _warp_points(key, n_pad, n_points, tw, stddev, max_diff)
+    src = src.reshape(n_chunks, chunk, n_points, 2)
+    dst = dst.reshape(n_chunks, chunk, n_points, 2)
+
+    def solve_chunk(sd):
+        return warp_ops.coarse_twopass_flow(
+            sd[0], sd[1], (th, tw), max_displacement=md,
+            flow_grid_stride=int(flow_grid_stride))
+
+    flows = jax.jit(lambda s, d: jax.lax.map(solve_chunk, (s, d)))(src, dst)
+    flows = flows.reshape(n_pad, *flows.shape[2:])[:int(n_bank)]
+    return dict(flows=jax.block_until_ready(flows),
+                stride=int(flow_grid_stride), max_displacement=md,
+                out_size=(th, tw))
+
+
+def random_warp_batch_banked(images, key, bank):
+    '''Banked ``random_warp_batch``: gather B precomputed coarse flow fields
+    and apply per-image random mirror symmetries (see build_warp_bank), then
+    the standard upsample + two-pass resample. No per-step spline solve.'''
+    b = images.shape[0]
+    flows = bank['flows']
+    k_idx, k_ud, k_lr = jax.random.split(key, 3)
+    idx = jax.random.randint(k_idx, [b], 0, flows.shape[0])
+    fl = flows[idx]
+    ud = jax.random.bernoulli(k_ud, shape=(b,))[:, None, None, None]
+    lr = jax.random.bernoulli(k_lr, shape=(b,))[:, None, None, None]
+    # vertical mirror: reverse rows, negate the y displacement
+    fl = jnp.where(
+        ud, jnp.stack([-fl[:, ::-1, :, 0], fl[:, ::-1, :, 1]], axis=-1), fl)
+    # horizontal mirror: reverse columns, negate the x displacement
+    fl = jnp.where(
+        lr, jnp.stack([fl[:, :, ::-1, 0], -fl[:, :, ::-1, 1]], axis=-1), fl)
+    return warp_ops.warp_with_coarse_flow(
+        images, fl, max_displacement=bank['max_displacement'],
+        flow_grid_stride=bank['stride'])
+
+
 def random_intrachannelwarp_batch(images, key, n_points=100, max_diff=5,
                                   stddev=2.0, paired=((0, -1),)):
     '''Warp channel groups independently (misalignment experiment op).'''
@@ -333,14 +405,19 @@ def _apply_fused_chain(images, key, methods):
         flow_grid_stride=warp_o.get('flow_grid_stride', 4))
 
 
-def build_augment_fn(methods):
+def build_augment_fn(methods, warp_bank=None):
     '''Compose an ordered [(name, options)] list into one batched transform
     ``fn(images [B,H,W,C] float, key) -> images``. jit-safe.
 
     When the list is exactly the production chain (crop, flip, contrast,
     two-pass warp), the ``fused_aug`` kernel gate routes it through one
     crop-fused Pallas resample instead of four materialized stages — same
-    draws, same semantics (see _apply_fused_chain).'''
+    draws, same semantics (see _apply_fused_chain).
+
+    ``warp_bank`` (built by build_warp_bank under the ``warp_bank`` gate;
+    threaded in by the Engine) replaces random_warp's per-step spline solve
+    with a gather from the precomputed field bank when the image shape at
+    that point in the chain matches the bank.'''
 
     def apply_all(images, key):
         if _fused_chain_eligible(methods):
@@ -354,7 +431,11 @@ def build_augment_fn(methods):
                 return _apply_fused_chain(images, key, methods)
         keys = jax.random.split(key, max(len(methods), 1))
         for (name, options), op_key in zip(methods, keys):
-            if name in _BATCH:
+            if (name == 'random_warp' and warp_bank is not None
+                    and options.get('method', 'two_pass') == 'two_pass'
+                    and tuple(images.shape[1:3]) == warp_bank['out_size']):
+                images = random_warp_batch_banked(images, op_key, warp_bank)
+            elif name in _BATCH:
                 images = _BATCH[name](images, op_key, **options)
             else:
                 fn = functools.partial(_PER_ELEMENT[name], **options)

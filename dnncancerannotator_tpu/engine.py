@@ -158,6 +158,10 @@ class Engine:
         self.debug_asserts = bool(deploy.pop('debug_asserts', False))
         self.max_checkpoints_to_keep = deploy.pop(
             'max_checkpoints_to_keep', None)
+        # warp-bank size (fields precomputed at first step build when the
+        # warp_bank gate is on; 4x that many effective fields after the
+        # per-step random mirror symmetries — data/augment.py:build_warp_bank)
+        self.warp_bank_size = int(deploy.pop('warp_bank_size', 512))
         # Pallas kernel gates (flatchain / flat tconv / fused tconv+pool):
         # an explicit per-Engine gate set, made active at trace time inside
         # each step function — two Engines with opposing gates coexist in
@@ -395,6 +399,38 @@ class Engine:
             cache[key] = builder()
         return cache[key]
 
+    def _warp_bank(self, dataset):
+        '''Build (once per Engine) the precomputed warp-field bank when the
+        ``warp_bank`` gate is on and the chain is crop-then-two-pass-warp
+        (the production shape: warp control points live in the crop frame,
+        so the bank's field size is the crop output_size). Returns None
+        when the gate is off or the chain doesn't match — the composed
+        per-step solve stays in effect.'''
+        methods = dataset.augment_methods
+        cache = getattr(self, '_warp_bank_cache', None)
+        if cache is None:
+            cache = self._warp_bank_cache = {}
+        key = repr(methods)
+        if key not in cache:
+            bank = None
+            with gates_lib.active(self.kernel_gates):
+                enabled = gates_lib.enabled('warp_bank')
+            names = [n for n, _ in methods]
+            if (enabled and 'random_warp' in names and 'random_crop' in names
+                    and names.index('random_crop') < names.index(
+                        'random_warp')):
+                crop_o = methods[names.index('random_crop')][1]
+                warp_o = dict(methods[names.index('random_warp')][1])
+                if warp_o.get('method', 'two_pass') == 'two_pass':
+                    logger.info('Precomputing warp bank: %d fields at %s',
+                                self.warp_bank_size, crop_o['output_size'])
+                    bank = augment_mod.build_warp_bank(
+                        jax.random.fold_in(
+                            jax.random.PRNGKey(self.seed), 0x77a5),
+                        self.warp_bank_size, crop_o['output_size'], **warp_o)
+            cache[key] = bank
+        return cache[key]
+
     def _make_train_step(self, dataset, multi_step=False,
                          stack_outputs=False):
         '''Build the jitted train step.
@@ -405,7 +441,8 @@ class Engine:
         standard TPU host-overhead amortization.
         '''
         checks.enable(self.debug_asserts)
-        aug_fn = augment_mod.build_augment_fn(dataset.augment_methods)
+        aug_fn = augment_mod.build_augment_fn(
+            dataset.augment_methods, warp_bank=self._warp_bank(dataset))
         slice_types = dataset.slice_types
         has_bn = self._has_bn
         loss_obj = self.loss

@@ -37,6 +37,7 @@ _DEFAULTS = {
     'pallas_pool': False,
     'flatchain_im2col': True,
     'fused_aug': False,
+    'warp_bank': False,
 }
 
 _ENV = {
@@ -46,6 +47,7 @@ _ENV = {
     'pallas_pool': 'DNNCA_PPOOL',
     'flatchain_im2col': 'DNNCA_FLATCHAIN_IM2COL',
     'fused_aug': 'DNNCA_FUSEDAUG',
+    'warp_bank': 'DNNCA_WARPBANK',
 }
 
 
@@ -58,6 +60,7 @@ class KernelGates:
     pallas_pool: Optional[bool] = None
     flatchain_im2col: Optional[bool] = None
     fused_aug: Optional[bool] = None
+    warp_bank: Optional[bool] = None
 
     @classmethod
     def from_deploy_options(cls, deploy):

@@ -141,6 +141,33 @@ def dense_image_warp_twopass(image, flow, max_displacement=8):
     return out
 
 
+def _flow_from_points(train_pts, train_vals, gy, gx, scale, regularization,
+                      clamp, d, two_pass):
+    '''One image's (coarse) spline flow [hc, wc, 2] from pixel-space control
+    points; shared by sparse_image_warp and the warp-bank precompute
+    (coarse_twopass_flow) so both realize bit-identical flows.'''
+    hc, wc = gy.shape
+    tp = train_pts.astype(jnp.float32) * scale
+    wgt, v = _solve_spline(tp, train_vals, regularization)
+    grid = jnp.stack([gy.reshape(-1), gx.reshape(-1)], axis=-1) * scale
+    fl = _evaluate_spline(grid, tp, wgt, v).reshape(hc, wc, 2)
+    if clamp:
+        fl = jnp.clip(fl, -d, d)
+    if two_pass:
+        # First-order composition correction: the horizontal pass reads
+        # the vertically-resampled image at source column x' = qx(y, x),
+        # so the vertical pass must use the flow of the *target* column
+        # x ~ x' + flow_x(y, x'). Evaluate flow_y at those shifted points
+        # (one more spline matmul); residual error is second-order
+        # (<0.1 px for the augmentation's flow magnitudes).
+        qpts = jnp.stack(
+            [gy.reshape(-1), (gx + fl[..., 1]).reshape(-1)],
+            axis=-1) * scale
+        fy = _evaluate_spline(qpts, tp, wgt, v)[:, 0].reshape(hc, wc)
+        fl = jnp.stack([fy, fl[..., 1]], axis=-1)
+    return fl
+
+
 def _interp_matrix(n_fine, stride, n_coarse):
     '''Exact 1D bilinear-upsampling matrix [n_fine, n_coarse] for coarse
     samples at coordinates ``i * stride`` (built host-side; static shapes).'''
@@ -228,46 +255,82 @@ def sparse_image_warp(image, source_control_points, dest_control_points,
     def flow_one(train_pts, train_vals):
         '''One spline solve per image, shared by the base flow and the
         two-pass composition correction.'''
-        tp = train_pts.astype(jnp.float32) * scale
-        wgt, v = _solve_spline(tp, train_vals, regularization)
-        grid = jnp.stack([gy.reshape(-1), gx.reshape(-1)], axis=-1) * scale
-        fl = _evaluate_spline(grid, tp, wgt, v).reshape(hc, wc, 2)
-        if clamp_flow:
-            fl = jnp.clip(fl, -float(max_displacement),
-                          float(max_displacement))
-        if method == 'two_pass':
-            # First-order composition correction: the horizontal pass reads
-            # the vertically-resampled image at source column x' = qx(y, x),
-            # so the vertical pass must use the flow of the *target* column
-            # x ~ x' + flow_x(y, x'). Evaluate flow_y at those shifted points
-            # (one more spline matmul); residual error is second-order
-            # (<0.1 px for the augmentation's flow magnitudes).
-            qpts = jnp.stack(
-                [gy.reshape(-1), (gx + fl[..., 1]).reshape(-1)],
-                axis=-1) * scale
-            fy = _evaluate_spline(qpts, tp, wgt, v)[:, 0].reshape(hc, wc)
-            fl = jnp.stack([fy, fl[..., 1]], axis=-1)
-        return fl
+        return _flow_from_points(
+            train_pts, train_vals, gy, gx, scale, regularization,
+            clamp_flow, float(max_displacement), method == 'two_pass')
 
     flow = jax.vmap(flow_one)(dest_control_points, values)
     if stride > 1:
         flow = _upsample_flow(flow, h, w, stride)
     if method == 'two_pass':
-        if _pallas_resample_ok(image.shape, max_displacement):
-            from .pallas.warp_kernel import dense_image_warp_twopass_pallas
-            fn = functools.partial(
-                dense_image_warp_twopass_pallas,
-                max_displacement=max_displacement,
-                interpret=mesh_lib.pallas_interpret())
-            mesh = mesh_lib.spmd_batch_mesh(image.shape[0])
-            if mesh is not None and jax.device_count() != 1:
-                from jax.sharding import PartitionSpec as P
-                fn = jax.shard_map(
-                    fn, mesh=mesh, in_specs=(P('data'), P('data')),
-                    out_specs=P('data'), check_vma=False)
-            return fn(image, flow)
-        return dense_image_warp_twopass(image, flow, max_displacement)
+        return _twopass_resample(image, flow, max_displacement)
     return dense_image_warp(image, flow)
+
+
+def _twopass_resample(image, flow, max_displacement):
+    '''Dense two-pass resample at a full-resolution flow: the Pallas kernel
+    on TPU (shard_mapped under SPMD), the XLA select path otherwise.'''
+    if _pallas_resample_ok(image.shape, max_displacement):
+        from .pallas.warp_kernel import dense_image_warp_twopass_pallas
+        fn = functools.partial(
+            dense_image_warp_twopass_pallas,
+            max_displacement=max_displacement,
+            interpret=mesh_lib.pallas_interpret())
+        mesh = mesh_lib.spmd_batch_mesh(image.shape[0])
+        if mesh is not None and jax.device_count() != 1:
+            from jax.sharding import PartitionSpec as P
+            fn = jax.shard_map(
+                fn, mesh=mesh, in_specs=(P('data'), P('data')),
+                out_specs=P('data'), check_vma=False)
+        return fn(image, flow)
+    return dense_image_warp_twopass(image, flow, max_displacement)
+
+
+@functools.partial(
+    jax.jit, static_argnames=('out_size', 'regularization',
+                              'max_displacement', 'flow_grid_stride'))
+def coarse_twopass_flow(source_control_points, dest_control_points, out_size,
+                        regularization=0.0, max_displacement=8,
+                        flow_grid_stride=4):
+    '''The clamped, composition-corrected coarse flow grids [B, hc, wc, 2]
+    that ``sparse_image_warp(method='two_pass', clamp_flow=True)`` would
+    realize for these control points — without resampling any image.
+
+    This is the warp-bank precompute (data/augment.py:build_warp_bank): the
+    spline solve depends only on the control points, so banks of these grids
+    can be solved once and resampled later via ``warp_with_coarse_flow``.
+    '''
+    h, w = out_size
+    stride = int(flow_grid_stride)
+    values = (dest_control_points - source_control_points).astype(jnp.float32)
+    scale = 1.0 / float(max(h, w))
+    hc = -(-(h - 1) // stride) + 1
+    wc = -(-(w - 1) // stride) + 1
+    gy = jax.lax.broadcasted_iota(jnp.float32, (hc, wc), 0) * stride
+    gx = jax.lax.broadcasted_iota(jnp.float32, (hc, wc), 1) * stride
+
+    def flow_one(train_pts, train_vals):
+        return _flow_from_points(
+            train_pts, train_vals, gy, gx, scale, regularization,
+            True, float(max_displacement), True)
+
+    return jax.vmap(flow_one)(dest_control_points, values)
+
+
+@functools.partial(
+    jax.jit, static_argnames=('max_displacement', 'flow_grid_stride'))
+def warp_with_coarse_flow(image, coarse_flow, max_displacement=8,
+                          flow_grid_stride=4):
+    '''Two-pass warp of [B, H, W, C] at precomputed coarse flow grids
+    (``coarse_twopass_flow`` output): bilinear-matmul upsample + the same
+    resample tail as ``sparse_image_warp(method='two_pass')``.'''
+    image = image.astype(jnp.float32)
+    b, h, w, _ = image.shape
+    stride = int(flow_grid_stride)
+    flow = coarse_flow.astype(jnp.float32)
+    if stride > 1:
+        flow = _upsample_flow(flow, h, w, stride)
+    return _twopass_resample(image, flow, max_displacement)
 
 
 def _upsample_plane(fl, h, w, stride):
