@@ -84,7 +84,7 @@ def measure_tpu():
     config = dict(CONFIG)
     # BENCH_SPC: A/B override for the device-loop chunk length (host
     # dispatch ~4 ms amortizes over steps_per_call steps)
-    spc = int(os.environ.get('BENCH_SPC', '10'))
+    spc = int(os.environ.get('BENCH_SPC', '25'))
     # The differential legs (STEPS//4 and STEPS) must be whole chunks:
     # a remainder chunk adds a dispatch/compile asymmetry between the
     # short and long timings that biases the subtracted rate.

@@ -37,7 +37,10 @@ _DEFAULTS = {
     'pallas_pool': False,
     'flatchain_im2col': True,
     'fused_aug': False,
-    'warp_bank': False,
+    # banked warp fields: +16.7% end-to-end at steps_per_call 25, Dice
+    # drift -0.0017 vs +-0.0008 seed noise (WARPBANK_DRIFT.md; RESULTS
+    # round 5). Opt out per-Engine (warp_bank: false) or DNNCA_WARPBANK=0.
+    'warp_bank': True,
 }
 
 _ENV = {

@@ -173,6 +173,10 @@ def test_engine_builds_bank_and_trains():
     assert eng2._warp_bank(DS()) is None
 
 
-def test_gate_defaults_off():
+def test_gate_default_and_opt_out():
+    '''Default ON after the round-5 A/B + drift study (WARPBANK_DRIFT.md);
+    per-Engine opt-out must win over the default.'''
     with gates.active(gates.KernelGates()):
+        assert gates.enabled('warp_bank')
+    with gates.active(gates.KernelGates(warp_bank=False)):
         assert not gates.enabled('warp_bank')
