@@ -219,26 +219,54 @@ class Engine:
         return bool(self.state and self.state.get('batch_stats'))
 
     # ------------------------------------------------------------------
-    def build(self, input_shape):
-        '''Initialize parameters for [B, H, W, C] inputs (idempotent).'''
-        if self.state is not None:
+    @staticmethod
+    def _is_abstract(tree):
+        return any(isinstance(l, jax.ShapeDtypeStruct)
+                   for l in jax.tree.leaves(tree))
+
+    def build(self, input_shape, abstract=False):
+        '''Initialize parameters for [B, H, W, C] inputs (idempotent).
+
+        ``abstract=True`` builds the state as shape/dtype structs via
+        ``jax.eval_shape`` — no compile, no device work. The load paths
+        (eval / predict / export) use this: they overwrite every value
+        from a checkpoint anyway, and a real init costs tens of seconds
+        through a relayed TPU toolchain (RESULTS.md round 5, eval-path
+        wall-clock). A later ``build(..., abstract=False)`` on an
+        abstract-state engine promotes it to a real init.'''
+        if self.state is not None and not (
+                not abstract and self._is_abstract(self.state)):
             return
-        x = jnp.zeros((1, *input_shape[1:]), jnp.float32)
-        with gates_lib.active(self.kernel_gates):
+
+        def init_state(x):
             variables = self.model.init(
                 jax.random.PRNGKey(self.seed), x, training=False)
-        params = variables['params']
-        batch_stats = variables.get('batch_stats', {})
-        state = dict(
-            params=params,
-            batch_stats=batch_stats,
-            opt_state=self.tx.init(params),
-            step=jnp.zeros((), jnp.int32),
-        )
-        self.state = jax.device_put(state, self._rep)
-        n_params = sum(p.size for p in jax.tree.leaves(params))
-        logger.info('Initialized %s: %d params on mesh %s',
-                    self.model_name, n_params, dict(self.mesh.shape))
+            params = variables['params']
+            return dict(
+                params=params,
+                batch_stats=variables.get('batch_stats', {}),
+                opt_state=self.tx.init(params),
+                step=jnp.zeros((), jnp.int32),
+            )
+
+        with gates_lib.active(self.kernel_gates):
+            if abstract:
+                self.state = jax.eval_shape(init_state, jax.ShapeDtypeStruct(
+                    (1, *input_shape[1:]), jnp.float32))
+            else:
+                # one jitted (and persistently cached) executable instead of
+                # flax's eager op-by-op init — the eager form dispatched
+                # every primitive separately through the relay (~70 s for
+                # the small UNet; RESULTS.md round 5)
+                x = jnp.zeros((1, *input_shape[1:]), jnp.float32)
+                self.state = jax.device_put(
+                    jax.jit(init_state)(x), self._rep)
+        n_params = sum(
+            int(np.prod(p.shape))
+            for p in jax.tree.leaves(self.state['params']))
+        logger.info('Initialized %s%s: %d params on mesh %s',
+                    self.model_name, ' (abstract)' if abstract else '',
+                    n_params, dict(self.mesh.shape))
 
     # -- checkpointing ---------------------------------------------------
     def get_ckpts(self, base_path):
@@ -267,29 +295,38 @@ class Engine:
             self._async_ckptr.wait_until_finished()
 
     def _opt_flat_spec(self):
-        '''Machinery mapping the runtime (optax.flatten) opt_state to the
-        param-tree checkpoint form: (unravel fn, is_flat_leaf predicate).'''
-        from jax.flatten_util import ravel_pytree
-        flat, unravel = ravel_pytree(self.state['params'])
-        n = int(flat.size)
+        '''is_flat_leaf predicate for the runtime (optax.flatten) opt_state
+        — static (shape arithmetic only), so it works on abstract state.'''
+        n = sum(int(np.prod(l.shape))
+                for l in jax.tree.leaves(self.state['params']))
 
         def is_flat(leaf):
             shape = tuple(getattr(leaf, 'shape', ()))
             return shape == (n,)
 
-        return unravel, is_flat
+        return is_flat
 
-    def _ckpt_view(self):
-        '''State with opt_state in param-tree form — the on-disk format.
+    @staticmethod
+    def _param_tree_view(state):
+        '''``state`` with opt_state in param-tree form — the on-disk format.
 
         The runtime opt_state is optax.flatten-ed (one concatenated vector
         per moment, a dispatch optimization); checkpoints keep the
         param-tree layout so the format is independent of that choice and
-        pre-flatten checkpoints stay loadable.'''
-        unravel, is_flat = self._opt_flat_spec()
+        pre-flatten checkpoints stay loadable. Pure in ``state``: the save
+        path executes it on real arrays, the load path only traces it
+        (``jax.eval_shape``) for the restore template — no device work.'''
+        from jax.flatten_util import ravel_pytree
+        flat, unravel = ravel_pytree(state['params'])
+        n = flat.size
         opt_tree = jax.tree.map(
-            lambda l: unravel(l) if is_flat(l) else l, self.state['opt_state'])
-        return {**self.state, 'opt_state': opt_tree}
+            lambda l: unravel(l)
+            if tuple(getattr(l, 'shape', ())) == (n,) else l,
+            state['opt_state'])
+        return {**state, 'opt_state': opt_tree}
+
+    def _ckpt_view(self):
+        return self._param_tree_view(self.state)
 
     @staticmethod
     def _tree_get(tree, path):
@@ -308,7 +345,7 @@ class Engine:
     def _reflatten_opt_state(self, opt_tree):
         '''Invert _ckpt_view: param-tree opt_state → runtime (flat) form.'''
         from jax.flatten_util import ravel_pytree
-        _, is_flat = self._opt_flat_spec()
+        is_flat = self._opt_flat_spec()
         with_path, treedef = jax.tree_util.tree_flatten_with_path(
             self.state['opt_state'])
         leaves = []
@@ -347,8 +384,14 @@ class Engine:
         import orbax.checkpoint as ocp
         assert self.state is not None, 'call build() before load()'
         self.finalize_checkpoints()
-        view = self._ckpt_view()
-        template = jax.tree.map(ocp.utils.to_shape_dtype_struct, view)
+        # trace-only template (works on abstract state; never executes the
+        # opt-state unravel on device) — with the CURRENT mesh's sharding
+        # attached: orbax otherwise restores with the file's recorded
+        # sharding, which breaks elastic topology-change resume
+        template = jax.tree.map(
+            lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype,
+                                           sharding=self._rep),
+            jax.eval_shape(self._param_tree_view, self.state))
         with ocp.StandardCheckpointer() as ckptr:
             try:
                 restored = ckptr.restore(os.path.abspath(path), template)
@@ -733,8 +776,11 @@ class Engine:
         and checkpoint cadence are unaffected.
         '''
         assert max_steps is not None
-        self.build(dataset.feature_shape)
         ckpt_dir = os.path.join(save_path, 'checkpoints') if save_path else None
+        # resuming overwrites every value from the checkpoint — build the
+        # state abstractly (no init compile) when a checkpoint exists
+        resuming = bool(auto_resume and ckpt_dir and self.get_ckpts(ckpt_dir))
+        self.build(dataset.feature_shape, abstract=resuming)
         if auto_resume and ckpt_dir:
             self._auto_resume(ckpt_dir)
         visualization = visualization or {}
@@ -1025,7 +1071,9 @@ class Engine:
         '''Evaluate every checkpoint under ``save_path`` (engine.py:139-210).'''
         import pandas as pd
 
-        self.build(dataset.feature_shape)
+        # every evaluated checkpoint overwrites the state: skip the init
+        # compile entirely (shape/dtype template is enough to restore into)
+        self.build(dataset.feature_shape, abstract=True)
         ckpt_path = os.path.join(save_path, 'checkpoints')
         if not export_path:
             export_path = os.path.join(save_path, 'tfevents')

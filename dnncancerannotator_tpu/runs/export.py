@@ -87,7 +87,7 @@ def export_model(
     n_features = len(slice_types) - 1
 
     eng = engine_lib.Engine(saved_config)
-    eng.build((batch_size or 1, int(h), int(w), n_features))
+    eng.build((batch_size or 1, int(h), int(w), n_features), abstract=True)
     ckpts = eng.get_ckpts(os.path.join(save_path, 'checkpoints'))
     assert ckpts, f'no checkpoints under {save_path}'
     step = max(ckpts)

@@ -58,7 +58,7 @@ def predict(
         batch_size=batch_size)
 
     model = engine_lib.Engine(saved_config)
-    model.build(ds.feature_shape)
+    model.build(ds.feature_shape, abstract=True)
     ckpts = model.get_ckpts(os.path.join(save_path, 'checkpoints'))
     assert ckpts, f'no checkpoints under {save_path}'
     latest = max(ckpts)

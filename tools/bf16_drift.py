@@ -121,7 +121,7 @@ def threshold_sweep(save, val_paths, n_thresholds=37):
         cfg = yaml_lib.safe_load(f)['config']
     eng = engine_lib.Engine(cfg)
     ds = data_lib.eval_ds(val_paths, **cfg['data_options']['eval'])
-    eng.build(ds.feature_shape)
+    eng.build(ds.feature_shape, abstract=True)
     ckpts = eng.get_ckpts(os.path.join(save, 'checkpoints'))
     eng.load(ckpts[max(ckpts)])
 
